@@ -31,11 +31,8 @@ class S2CellIdSpec extends AnyFunSuite {
     assert(childBegin(id, MaxLevel) == rangeMin(id))
     // child ordering & containment
     assert(uLt(childBegin(id), id) && uLt(id, childEnd(id)))
-    assert(next(childEnd(id)) == childEnd(parent(id)) ||
-      uLe(childEnd(id), rangeMax(id) + 1))
+    assert(childEnd(id) == childBegin(next(id)))
     assert(rangeMin(id) == rangeMin(childBegin(id)))
-    assert(rangeMax(id) == rangeMax(child(childEnd(id) - lsb(childEnd(id)), 3)) ||
-      true) // structural checks continue below
     assert(contains(id, childBegin(id)))
     assert(contains(id, rangeMax(id)))
     assert(!contains(id, next(rangeMax(id))))
