@@ -271,6 +271,16 @@ object S2CellId {
     Array(p(0) / n, p(1) / n, p(2) / n)
   }
 
+  def centerLatRadians(id: Long): Double = {
+    val p = toPointRaw(id)
+    math.atan2(p(2), math.sqrt(p(0) * p(0) + p(1) * p(1)))
+  }
+
+  def centerLngRadians(id: Long): Double = {
+    val p = toPointRaw(id)
+    math.atan2(p(1), p(0))
+  }
+
   def toLatLng(id: Long): (Double, Double) = {
     val p = toPointRaw(id)
     val lat = math.atan2(p(2), math.sqrt(p(0) * p(0) + p(1) * p(1)))

@@ -1,0 +1,200 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.functions._
+import graft.core._
+
+/** Column-level API of the engine, in the style of
+  * org.apache.spark.sql.functions. Hot scalar kernels are native Catalyst
+  * expressions (codegen'd); geometry-typed operators (coverings, term
+  * generation, PIP against polygon text) are deterministic Scala UDFs
+  * whose kernels are the exact core implementations. */
+object S2 {
+  import ColumnBridge.{column => toCol, expression => toExpr}
+
+  // ---- native expressions ----
+  /** Leaf cell id of (latDeg, lngDeg). */
+  def cellId(latDeg: Column, lngDeg: Column): Column =
+    toCol(S2CellIdFromLatLngDeg(toExpr(latDeg), toExpr(lngDeg)))
+
+  /** Leaf cell id of a direction vector (any scale). */
+  def cellIdXYZ(x: Column, y: Column, z: Column): Column =
+    toCol(S2CellIdFromXYZ(toExpr(x), toExpr(y), toExpr(z)))
+
+  def parent(id: Column, level: Int): Column =
+    toCol(S2Parent(toExpr(id), toExpr(lit(level))))
+  def parent(id: Column, level: Column): Column =
+    toCol(S2Parent(toExpr(id), toExpr(level)))
+  def level(id: Column): Column = toCol(S2Level(toExpr(id)))
+  def orderKey(id: Column): Column = toCol(S2OrderKey(toExpr(id)))
+  def rangeMin(id: Column): Column = toCol(S2RangeMin(toExpr(id)))
+  def rangeMax(id: Column): Column = toCol(S2RangeMax(toExpr(id)))
+  def token(id: Column): Column = toCol(S2Token(toExpr(id)))
+  def fromToken(tok: Column): Column = toCol(S2FromToken(toExpr(tok)))
+  def cellCenterLat(id: Column): Column = toCol(S2CellCenterLat(toExpr(id)))
+  def cellCenterLng(id: Column): Column = toCol(S2CellCenterLng(toExpr(id)))
+  def commonAncestorLevel(a: Column, b: Column): Column =
+    toCol(S2CommonAncestorLevel(toExpr(a), toExpr(b)))
+
+  /** Squared chord distance between two unit vectors (six double cols) —
+    * pure Column arithmetic, fully codegen'd. */
+  def chordDist2(x1: Column, y1: Column, z1: Column,
+                 x2: Column, y2: Column, z2: Column): Column = {
+    val dx = x1 - x2; val dy = y1 - y2; val dz = z1 - z2
+    least(lit(4.0), dx * dx + dy * dy + dz * dz)
+  }
+
+  /** Chord distance → surface radians: 2*asin(sqrt(d2)/2). */
+  def chordToRadians(d2: Column): Column = asin(sqrt(d2) * 0.5) * 2.0
+
+  /** Unit-vector columns (x,y,z struct) from lat/lng degrees. */
+  def pointFromLatLng(latDeg: Column, lngDeg: Column): Column = {
+    val latR = radians(latDeg); val lngR = radians(lngDeg)
+    struct(
+      (cos(lngR) * cos(latR)).as("x"),
+      (sin(lngR) * cos(latR)).as("y"),
+      sin(latR).as("z"))
+  }
+
+  // ---- UDF-backed geometry operators ----
+  /** Covering of a spherical cap given center (latDeg,lngDeg) + radius in
+    * radians; returns Array[Long] cell ids (deterministic, reference
+    * coverer semantics). */
+  val capCoveringUdf = udf { (lat: Double, lng: Double, radiusRad: Double,
+                              maxCells: Int, minLevel: Int, maxLevel: Int) =>
+    new S2RegionCoverer(maxCells, minLevel, maxLevel)
+      .getCovering(S2Cap.fromCenterAngle(V3.fromLatLngDegrees(lat, lng), radiusRad))
+  }
+
+  def capCovering(lat: Column, lng: Column, radiusRad: Column,
+                  maxCells: Int = 8, minLevel: Int = 0, maxLevel: Int = 30): Column =
+    capCoveringUdf(lat, lng, radiusRad, lit(maxCells), lit(minLevel), lit(maxLevel))
+
+  /** Covering of a polygon in the reference text format
+    * ("lat:lng, lat:lng, …"; loops joined by ';'). */
+  val polygonCoveringUdf = udf { (polyText: String, maxCells: Int,
+                                  minLevel: Int, maxLevel: Int) =>
+    val poly = PolyCache.get(polyText)
+    new S2RegionCoverer(maxCells, minLevel, maxLevel).getCovering(poly)
+  }
+
+  def polygonCovering(polyText: Column, maxCells: Int = 8,
+                      minLevel: Int = 0, maxLevel: Int = 30): Column =
+    polygonCoveringUdf(polyText, lit(maxCells), lit(minLevel), lit(maxLevel))
+
+  /** Rect covering from degree bounds. */
+  val rectCoveringUdf = udf { (latLo: Double, lngLo: Double, latHi: Double,
+                               lngHi: Double, maxCells: Int) =>
+    new S2RegionCoverer(maxCells)
+      .getCovering(S2LatLngRect.fromDegrees(latLo, lngLo, latHi, lngHi))
+  }
+
+  // ---- term indexer (the equi-joinable spatial join keys) ----
+  private val defaultIndexer = new S2TermIndexer()
+
+  /** Index terms for a point document (reference
+    * s2region_term_indexer.cc:155-213). */
+  val pointIndexTermsUdf = udf { (lat: Double, lng: Double) =>
+    val p = V3.fromLatLngDegrees(lat, lng)
+    defaultIndexer.indexTermsForPoint(p.x, p.y, p.z)
+  }
+  def pointIndexTerms(latDeg: Column, lngDeg: Column): Column =
+    pointIndexTermsUdf(latDeg, lngDeg)
+
+  val pointIndexTermsXYZUdf = udf { (x: Double, y: Double, z: Double) =>
+    defaultIndexer.indexTermsForPoint(x, y, z)
+  }
+  def pointIndexTermsXYZ(x: Column, y: Column, z: Column): Column =
+    pointIndexTermsXYZUdf(x, y, z)
+
+  /** Query terms for a polygon-text region. */
+  val polygonQueryTermsUdf = udf { (polyText: String) =>
+    defaultIndexer.queryTerms(PolyCache.get(polyText))
+  }
+  def polygonQueryTerms(polyText: Column): Column = polygonQueryTermsUdf(polyText)
+
+  /** Query terms for a cap region. */
+  val capQueryTermsUdf = udf { (lat: Double, lng: Double, radiusRad: Double) =>
+    defaultIndexer.queryTerms(
+      S2Cap.fromCenterAngle(V3.fromLatLngDegrees(lat, lng), radiusRad))
+  }
+  def capQueryTerms(lat: Column, lng: Column, radiusRad: Column): Column =
+    capQueryTermsUdf(lat, lng, radiusRad)
+
+  /** Exact point-in-polygon against a polygon in text format (crossing
+    * parity, reference s2loop.cc:605-617). */
+  val containsUdf = udf { (polyText: String, lat: Double, lng: Double) =>
+    PolyCache.get(polyText).contains(V3.fromLatLngDegrees(lat, lng))
+  }
+  def polygonContains(polyText: Column, latDeg: Column, lngDeg: Column): Column =
+    containsUdf(polyText, latDeg, lngDeg)
+
+  val containsXYZUdf = udf { (polyText: String, x: Double, y: Double, z: Double) =>
+    PolyCache.get(polyText).contains(V3(x, y, z).normalize)
+  }
+  def polygonContainsXYZ(polyText: Column, x: Column, y: Column, z: Column): Column =
+    containsXYZUdf(polyText, x, y, z)
+
+  /** Neighbors of a cell at a given level. */
+  val neighborsUdf = udf { (id: Long, level: Int) =>
+    S2CellId.allNeighbors(id, level)
+  }
+  def neighbors(id: Column, level: Column): Column = neighborsUdf(id, level)
+
+  /** Normalized cell union of an array column. */
+  val normalizeUnionUdf = udf { (ids: Array[Long]) => S2CellUnion.normalize(ids) }
+  /** Expand a covering by a radius (buffered joins). */
+  val expandUnionUdf = udf { (ids: Array[Long], radiusRad: Double) =>
+    S2CellUnion.expandByRadius(ids, radiusRad, 2)
+  }
+
+  def cellArea(id: Column): Column = {
+    val exactAreaUdf = udf { (cellId: Long) => S2Cell(cellId).exactArea }
+    exactAreaUdf(id)
+  }
+
+  /** Register SQL-callable names for the native expressions. */
+  def registerAll(spark: SparkSession): Unit = {
+    import org.apache.spark.sql.catalyst.expressions.Cast
+    import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType}
+    val reg = spark.sessionState.functionRegistry
+    // Explicit casts stand in for the type coercion that ExpectsInputTypes
+    // (private[sql] in Spark 4) would normally inject for SQL literals.
+    reg.createOrReplaceTempFunction("s2_cellid",
+      es => S2CellIdFromLatLngDeg(Cast(es(0), DoubleType), Cast(es(1), DoubleType)), "scala_udf")
+    reg.createOrReplaceTempFunction("s2_cellid_xyz",
+      es => S2CellIdFromXYZ(Cast(es(0), DoubleType), Cast(es(1), DoubleType),
+        Cast(es(2), DoubleType)), "scala_udf")
+    reg.createOrReplaceTempFunction("s2_parent",
+      es => S2Parent(Cast(es(0), LongType), Cast(es(1), IntegerType)), "scala_udf")
+    reg.createOrReplaceTempFunction("s2_level", es => S2Level(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("s2_token", es => S2Token(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("s2_cell_from_token",
+      es => S2FromToken(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("s2_order_key",
+      es => S2OrderKey(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("s2_range_min",
+      es => S2RangeMin(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("s2_range_max",
+      es => S2RangeMax(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("s2_cell_center_lat",
+      es => S2CellCenterLat(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("s2_cell_center_lng",
+      es => S2CellCenterLng(es.head), "scala_udf")
+  }
+}
+
+/** Per-executor cache of parsed polygons (polygon text is typically a
+  * small query-side dimension; parsing once per executor, not per row). */
+object PolyCache {
+  private val cache = new java.util.concurrent.ConcurrentHashMap[String, S2Polygon]()
+  def get(text: String): S2Polygon = {
+    var p = cache.get(text)
+    if (p == null) {
+      p = S2TextFormat.parsePolygon(text)
+      if (cache.size < 10000) cache.put(text, p)
+    }
+    p
+  }
+}
