@@ -1,7 +1,7 @@
 package graft.core
 
 /** Region interface used by the coverer (reference s2region.h:39-98). */
-trait S2Region {
+trait S2Region extends Serializable {
   def capBound: S2Cap
   def rectBound: S2LatLngRect
   /** Loose covering used to seed the coverer; default via cap bound. */

@@ -1,0 +1,222 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core._
+import graft.functions.S2
+
+/** Distributed spatial joins over S2 cell keys — the engine's flagship
+  * operators (SURVEY.md §2.10). Three physical strategies, chosen by the
+  * caller (or `containsJoin` auto):
+  *
+  *  1. broadcast  — regions side fits in memory: build a
+  *     [[CellIntervalIndex]] of all region coverings, broadcast it, and
+  *     stab it with each doc's leaf cell. Zero shuffle over the big side;
+  *     exact refine runs only on candidates whose covering cell was not an
+  *     interior cell. This is the 100 TB plan whenever the dimension side
+  *     is ≤ ~1M covering cells (the common case: country/tile/geofence
+  *     tables).
+  *
+  *  2. terms      — both sides large: S2RegionTermIndexer semantics
+  *     (/root/reference/src/s2/s2region_term_indexer.cc:27-72): docs emit
+  *     ancestor terms for their leaf cell, regions emit covering +
+  *     ancestor-covering terms; two regions intersect iff they share ≥1
+  *     term, so the spatial join becomes a plain equi-join Catalyst can
+  *     hash/sort-merge + AQE-skew-split, followed by the exact refine.
+  *
+  *  3. range      — both sides large and Hilbert-sorted: covering cells
+  *     against leaf cells as an interval containment join on order keys.
+  *
+  * All joins carry every payload column (notably `spans`) untouched —
+  * the span-sequence invariant is preserved structurally because spans are
+  * never exploded or rebuilt.
+  */
+object S2Joins {
+
+  /** Ingest: add derived geometry columns from lat/lng degrees —
+    * unit-vector point, leaf cell id, and the order-preserving Hilbert
+    * sort key (id ^ Long.MinValue; see SURVEY.md §7.4 on signed order). */
+  def withCellId(df: DataFrame, latDeg: Column, lngDeg: Column): DataFrame =
+    df.withColumn("cell_id", S2.cellId(latDeg, lngDeg))
+      .withColumn("cell_ord", S2.orderKey(col("cell_id")))
+
+  /** Hilbert-range repartition: co-locates spatially-near rows, making
+    * parquet min/max stats on `cell_ord` prune like an S2CellUnion binary
+    * search (SURVEY.md §4.2). Use before writing any large spatial table. */
+  def hilbertRepartition(df: DataFrame, numPartitions: Int): DataFrame =
+    df.repartitionByRange(numPartitions, col("cell_ord"))
+
+  // =======================================================================
+  // 1. broadcast contains/intersects join
+  // =======================================================================
+
+  /** docs ⋈ regions with `region.contains(point)` semantics.
+    *
+    * @param docs     must carry `cell_id` (see withCellId) + point source
+    *                 columns latCol/lngCol for the exact refine
+    * @param regions  labeled regions, broadcast as covering intervals
+    * @return docs rows × matching region label (column `qid`), all doc
+    *         columns preserved.
+    */
+  def broadcastContainsJoin(docs: DataFrame, regions: Seq[(Int, S2Region)],
+                            latCol: String = "lat", lngCol: String = "lng",
+                            maxCellsPerRegion: Int = 64): DataFrame = {
+    val spark = docs.sparkSession
+    val index = CellIntervalIndex.fromRegions(regions, maxCellsPerRegion)
+    val bIndex = spark.sparkContext.broadcast(index)
+    val bRegions = spark.sparkContext.broadcast(regions.toMap)
+
+    // candidate labels via broadcast stab; interior hits skip exact test
+    val candUdf = udf { (cellOrd: Long) => bIndex.value.candidates(cellOrd) }
+    val refineUdf = udf { (lab: Int, lat: Double, lng: Double) =>
+      bRegions.value(lab).contains(V3.fromLatLngDegrees(lat, lng))
+    }
+    docs
+      .withColumn("_cand", candUdf(col("cell_ord")))
+      .where(size(col("_cand")) > 0)
+      .withColumn("_c", explode(col("_cand"))).drop("_cand")
+      .withColumn("qid", col("_c._1"))
+      .where(col("_c._2") || refineUdf(col("qid"), col(latCol), col(lngCol)))
+      .drop("_c")
+  }
+
+  // =======================================================================
+  // 2. term equi-join (large × large)
+  // =======================================================================
+
+  /** Explode docs into (ancestor) index terms for their point. */
+  def docIndexTerms(docs: DataFrame, indexer: S2TermIndexer): DataFrame = {
+    val termsUdf = udf { (cellId: Long) =>
+      indexer.indexTermsForCovering(Array(cellId))
+    }
+    docs.withColumn("term", explode(termsUdf(col("cell_id"))))
+  }
+
+  /** docs ⋈ regions via the term scheme; regions arrive as a DataFrame
+    * with (qid: Int, region) where region is rebuilt per-partition from a
+    * broadcast map — for genuinely large region sides use
+    * `termContainsJoinDF` with serialized polygon text. */
+  def termContainsJoin(docs: DataFrame, regionsDF: DataFrame,
+                       regionTermsCol: Column, qidCol: Column,
+                       refine: (DataFrame, DataFrame) => Column): DataFrame = {
+    val docTerms = docs // caller pre-computed "term"
+    val qTerms = regionsDF.select(qidCol.as("qid"),
+      explode(regionTermsCol).as("term"))
+    docTerms.join(qTerms, "term").drop("term")
+  }
+
+  /** Full term-join pipeline for polygon regions given as text: emits
+    * (doc columns…, qid) after exact PIP refine. Both sides may be
+    * arbitrarily large; the one shuffle is the term equi-join (AQE skew
+    * split applies; pre-salt with [[Skew.saltedTermJoin]] when a region
+    * covers a hot cell). */
+  def termPolygonJoin(docs: DataFrame, polys: DataFrame,
+                      polyTextCol: String = "poly", qidCol: String = "qid",
+                      indexer: S2TermIndexer = new S2TermIndexer()): DataFrame = {
+    val docTermsUdf = udf { (cellId: Long) => indexer.indexTermsForCovering(Array(cellId)) }
+    val queryTermsUdf = udf { (text: String) =>
+      indexer.queryTerms(graft.functions.PolyCache.get(text))
+    }
+    val d = docs.withColumn("term", explode(docTermsUdf(col("cell_id"))))
+    val q = polys.select(col(qidCol), col(polyTextCol),
+      explode(queryTermsUdf(col(polyTextCol))).as("term"))
+    d.join(q, "term")
+      .drop("term")
+      // a doc can match a region through several terms → dedupe, then refine
+      .dropDuplicates("doc_id", qidCol)
+      .where(S2.polygonContains(col(polyTextCol), col("lat"), col("lng")))
+      .drop(polyTextCol)
+  }
+
+  // =======================================================================
+  // 3. tile assignment (S2RegionSharder semantics)
+  // =======================================================================
+
+  /** Assign each doc to the tile whose cell union contains its leaf cell
+    * (most-intersecting on ties — S2RegionSharder
+    * GetMostIntersectingShard, /root/reference/src/s2/s2region_sharder.cc:32-153).
+    * Tiles broadcast; narrow map over docs; `default` for docs outside all
+    * tiles. */
+  def tileAssign(docs: DataFrame, tiles: Seq[(Int, Array[Long])],
+                 default: Int = -1): DataFrame = {
+    val spark = docs.sparkSession
+    val index = CellIntervalIndex.build(
+      tiles.map { case (id, cells) => (id, cells, Array.empty[Long]) })
+    val b = spark.sparkContext.broadcast(index)
+    val assignUdf = udf { (cellId: Long) =>
+      // leaf stab: tiles are unions of cells; the doc's leaf belongs to the
+      // tile covering it. Overlapping tiles → most-intersecting by leaf
+      // count of covering overlap.
+      val ord = S2CellId.orderKey(cellId)
+      val labs = b.value.labelsContaining(ord)
+      if (labs.length == 1) labs(0)
+      else if (labs.isEmpty) default
+      else b.value.mostIntersecting(Array(cellId), default)
+    }
+    docs.withColumn("tile_id", assignUdf(col("cell_id")))
+  }
+
+  // =======================================================================
+  // 4. kNN join (S2ClosestPointQuery semantics)
+  // =======================================================================
+
+  /** For each target, the k nearest docs (chord-angle metric, exact).
+    *
+    * Physical plan: targets broadcast → each partition computes its local
+    * top-k per target with a bounded insertion heap (map-side partial
+    * top-k, the aggregation analogue of the reference's best-first prune,
+    * s2closest_point_query_base.h:259-327) → one small shuffle of
+    * ≤ partitions×targets×k rows → global top-k via window. Distance ties
+    * break by doc_id ascending (deterministic).
+    *
+    * Returns (qid, doc_id, dist2, rank). */
+  def knnJoin(docs: DataFrame, targets: Seq[(Int, V3)], k: Int,
+              latCol: String = "lat", lngCol: String = "lng"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val bT = spark.sparkContext.broadcast(targets.toArray)
+
+    val partial = docs
+      .select(col("doc_id"), col(latCol).as("lat"), col(lngCol).as("lng"))
+      .as[(String, Double, Double)]
+      .mapPartitions { it =>
+        val ts = bT.value
+        // per-target bounded max-heaps of (dist2, doc_id)
+        val heaps = Array.fill(ts.length)(
+          new scala.collection.mutable.PriorityQueue[(Double, String)]()(
+            Ordering.Tuple2(Ordering.Double.TotalOrdering,
+              Ordering.String.reverse)))
+        it.foreach { case (id, lat, lng) =>
+          val p = V3.fromLatLngDegrees(lat, lng)
+          var i = 0
+          while (i < ts.length) {
+            val d = (p - ts(i)._2).norm2
+            val h = heaps(i)
+            if (h.size < k) h.enqueue((d, id))
+            else if (d < h.head._1 ||
+                     (d == h.head._1 && id < h.head._2)) {
+              h.dequeue(); h.enqueue((d, id))
+            }
+            i += 1
+          }
+        }
+        heaps.iterator.zipWithIndex.flatMap { case (h, i) =>
+          h.iterator.map { case (d, id) => (ts(i)._1, id, d) }
+        }
+      }.toDF("qid", "doc_id", "dist2")
+
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("qid").orderBy(col("dist2"), col("doc_id"))
+    partial.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+  }
+
+  /** Distance join: docs within `radiusRad` of any target cap center.
+    * Broadcast caps as an interval index of their coverings; refine with
+    * the exact chord test. */
+  def withinDistanceJoin(docs: DataFrame, targets: Seq[(Int, V3)],
+                         radiusRad: Double): DataFrame = {
+    val regions = targets.map { case (id, c) =>
+      (id, S2Cap.fromCenterAngle(c, radiusRad): S2Region) }
+    broadcastContainsJoin(docs, regions)
+  }
+}
