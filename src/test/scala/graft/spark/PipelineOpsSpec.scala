@@ -1,0 +1,175 @@
+package graft.spark
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators._
+
+class PipelineOpsSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+  import spark.implicits._
+  val sf = "/root/testdata/sf0.001"
+
+  lazy val docs = spark.read.parquet(s"$sf/documents.parquet").cache()
+
+  /** documents ∪ planted near-/exact dups (deterministic). */
+  lazy val withDups = {
+    val exact = docs.where(col("doc_id") % 7 === 0)
+      .withColumn("doc_id", col("doc_id") + 100000)
+    val near = docs.where(col("doc_id") % 5 === 0)
+      .withColumn("doc_id", col("doc_id") + 200000)
+      .withColumn("text", concat(col("text"), lit(" trailing extra")))
+    docs.unionByName(exact).unionByName(near).cache()
+  }
+
+  test("exact dedup finds planted exact duplicates and only those") {
+    val nExact = docs.where(col("doc_id") % 7 === 0).count()
+    val dups = Dedup.exactDuplicates(withDups, "doc_id", "text")
+      .where(col("dup_count") > 1)
+    assert(dups.count() == nExact)
+    // every dup group keeps the original (smaller) id
+    assert(dups.where(col("keep_id") >= 100000).count() == 0)
+    val kept = Dedup.dropExactDuplicates(withDups, "doc_id", "text")
+    assert(kept.count() == withDups.count() - nExact)
+  }
+
+  test("minhash LSH near-dup pipeline finds planted near duplicates") {
+    val found = Dedup.nearDuplicates(withDups, "doc_id", "text",
+      threshold = 0.5, shingleN = 3, numHashes = 64, bands = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // planted: (id, id+200000) pairs have jaccard ≈ shingles-2/shingles+1
+    val planted = docs.where(col("doc_id") % 5 === 0)
+      .select("doc_id").collect().map(_.getLong(0))
+      .map(id => (id, id + 200000)).toSet
+    // exact pairs (id, id+100000) also near-dup at jaccard 1.0
+    val exactPairs = docs.where(col("doc_id") % 7 === 0)
+      .select("doc_id").collect().map(_.getLong(0))
+      .map(id => (id, id + 100000)).toSet
+    assert((planted ++ exactPairs).subsetOf(found),
+      s"missing=${(planted ++ exactPairs) -- found}")
+  }
+
+  test("simhash pairs include all planted exact duplicates (hamming 0)") {
+    val found = Dedup.simHashPairs(withDups, "doc_id", "text", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val exactPairs = docs.where(col("doc_id") % 7 === 0)
+      .select("doc_id").collect().map(_.getLong(0))
+      .map(id => (id, id + 100000)).toSet
+    val pairSet = found.map(t => (t._1, t._2)).toSet
+    assert(exactPairs.subsetOf(pairSet))
+    found.filter(t => exactPairs.contains((t._1, t._2)))
+      .foreach(t => assert(t._3 == 0))
+  }
+
+  test("jaccard expression matches a scala reference implementation") {
+    def ref(a: String, b: String, n: Int): Double = {
+      def sh(t: String) = {
+        val w = t.toLowerCase.split("\\s+").filter(_.nonEmpty)
+        (0 to w.length - n).map(i => w.slice(i, i + n).mkString(" ")).toSet
+      }
+      val (sa, sb) = (sh(a), sh(b))
+      if ((sa ++ sb).isEmpty) 0.0 else (sa & sb).size.toDouble / (sa ++ sb).size
+    }
+    val rows = docs.limit(10).select("text").collect().map(_.getString(0))
+    val pairs = rows.zip(rows.tail)
+    val got = pairs.toSeq.toDF("a", "b")
+      .select(Dedup.jaccard(col("a"), col("b"), 3)).collect().map(_.getDouble(0))
+    got.zip(pairs).foreach { case (g, (a, b)) =>
+      assert(math.abs(g - ref(a, b, 3)) < 1e-12)
+    }
+  }
+
+  test("brute-force cosine topk matches a scala reference") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val queries = emb.where(col("vec_id") < 3)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val got = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+      queries, "qid", "qv", k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    val all = emb.select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val qs = all.filter(_._1 < 3)
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < a.length) {
+        d += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble
+        nb += b(i).toDouble * b(i).toDouble
+        i += 1
+      }
+      if (na == 0 || nb == 0) 0.0 else d / math.sqrt(na) / math.sqrt(nb)
+    }
+    val want = qs.flatMap { case (qid, qv) =>
+      all.map { case (id, v) => (id, cos(v, qv)) }
+        .sortBy { case (id, s) => (-s, id) }
+        .take(5).zipWithIndex.map { case ((id, _), i) => (qid, id, i + 1) }
+    }.toSet
+    assert(got == want)
+  }
+
+  test("ANN SRP-LSH achieves decent recall vs brute force") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val queries = emb.where(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+      queries, "qid", "qv", k = 10)
+      .select("qid", "id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ann = Similarity.annTopK(emb, "vec_id", "embedding",
+      queries, "qid", "qv", k = 10, nPlanes = 4, tables = 8)
+      .select("qid", "id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & ann).size.toDouble / exact.size
+    assert(recall >= 0.5, s"recall $recall")
+  }
+
+  test("text analysis columns are sane and deterministic") {
+    val e = TextAnalysis.enrich(docs, "text").cache()
+    val rows = e.select("text", "ws_tokens", "bpeish_tokens", "quality", "lang_pred")
+      .collect()
+    rows.foreach { r =>
+      val t = r.getString(0)
+      assert(r.getInt(1) == t.trim.split("\\s+").count(_.nonEmpty))
+      assert(r.getInt(2) >= r.getInt(1)) // subword ≥ word count
+      val q = r.getDouble(3)
+      assert(q >= 0.0 && q <= 1.0)
+      assert(Set("en", "und").contains(r.getString(4))) // english word salad
+    }
+    // overwhelming majority must be identified as english
+    val enFrac = rows.count(_.getString(4) == "en").toDouble / rows.length
+    assert(enFrac > 0.7, s"en fraction $enFrac")
+    // winnowing fingerprints: deterministic, non-empty, sorted
+    val fps = e.select("fingerprint").collect().map(_.getSeq[Long](0))
+    fps.foreach { fp =>
+      assert(fp.nonEmpty)
+      assert(fp == fp.sorted)
+    }
+    val fps2 = TextAnalysis.enrich(docs, "text")
+      .select("fingerprint").collect().map(_.getSeq[Long](0))
+    assert(fps.toSeq == fps2.toSeq)
+  }
+
+  test("multimodal: media table, feature extraction, frame sampling plumbing") {
+    val d = graft.sources.DocSource.docs(spark, 500L)
+    val media = Multimodal.mediaTable(d).cache()
+    assert(media.count() > 0)
+    assert(media.select("media_ref").distinct().count() == media.count())
+    val feats = Multimodal.extractFeatures(media, 8, 8)
+    val frows = feats.select("media_ref", "features", "mean_px").collect()
+    frows.foreach { r =>
+      assert(r.getSeq[Float](1).length == 64)
+      val m = r.getFloat(2)
+      assert(m >= 0.0f && m <= 1.0f)
+    }
+    // determinism of the stubbed decode
+    val f2 = Multimodal.extractFeatures(media, 8, 8)
+      .select("media_ref", "mean_px").collect()
+      .map(r => (r.getString(0), r.getFloat(1))).toMap
+    frows.foreach(r => assert(f2(r.getString(0)) == r.getFloat(2)))
+    val frames = Multimodal.sampleFrames(media, 4)
+    assert(frames.count() == media.count() * 4)
+  }
+}
