@@ -1,13 +1,526 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core._
+import graft.operators._
+import graft.functions.S2
+
+/** Driver contract: one `queries` entry per implemented operator family
+  * (SURVEY.md §2) over the driver's parquet tables, with an equivalent
+  * DuckDB oracle where engine-parity is achievable (pure integer/IEEE
+  * arithmetic on identical inputs). S2-only operators (tokens, coverings,
+  * Hilbert rollups) have no SQL equivalent → rows-only checks; their exact
+  * semantics are covered by the reference-golden unit suites.
+  *
+  * Geometry is derived deterministically from doc_id by *integer*
+  * arithmetic so Spark and DuckDB materialize bit-identical lat/lng:
+  *   lat = (doc_id*7919  % 17000)/100.0 - 85.0   ∈ [-85, 85)
+  *   lng = (doc_id*104729 % 36000)/100.0 - 180.0 ∈ [-180, 180)
+  * Region boundaries sit on x.xx5 offsets — never coincident with the
+  * 0.01-granular point grid — so boundary ULP noise cannot flip results.
+  * Double *sums* are never compared raw: money-like aggregates are rounded
+  * to integer cents per row (engine-exact), continuous sums rounded with
+  * wide margins.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  // ---- shared geometry literals (embedded identically in oracle SQL) ----
+  // convex CCW loops; interior = all edge-normal dot products > 0
+  private val P1 = Array(
+    V3(1.0, 0.0, 0.0),
+    V3(0.8191520442889919, 0.5735764363510462, 0.0),
+    V3(0.7094064799162225, 0.49673176489215404, 0.49999999999999994),
+    V3(0.8660254037844387, 0.0, 0.49999999999999994))
+  private val P2 = Array(
+    V3(0.1330222215594891, -0.754406506735489, -0.6427876096865394),
+    V3(0.6634139481689385, -0.383022221559489, -0.6427876096865394),
+    V3(0.8528685319524433, -0.49240387650610395, -0.17364817766693033),
+    V3(0.17101007166283444, -0.9698463103929542, -0.17364817766693036))
+  private val caps = Seq(
+    (1, V3(0.6687229900727684, 0.023352321390163445, 0.7431448254773942), 0.00639658739476123),
+    (2, V3(-0.7335178065228575, 0.40659555955740095, -0.5446390350150271), 0.002499479210067507),
+    (3, V3(0.2111504647396207, -0.7363691805566739, 0.6427876096865393), 0.014382728292267494))
+  private val rects = Seq( // (rid, latLo, lngLo, latHi, lngHi), .005 offsets
+    (1, -25.005, 100.005, 5.005, 140.005),
+    (2, 10.005, -80.005, 60.005, -10.005),
+    (3, -84.005, -179.995, -40.005, 20.005),
+    (4, 30.005, 60.005, 75.005, 150.005))
+  private val knnTargets = Seq(
+    1 -> V3(0.9254165783983234, 0.33682408883346515, 0.17364817766693033),
+    2 -> V3(-0.696364240320019, 0.1227878039689728, -0.7071067811865475),
+    3 -> V3(0.08682408883346522, -0.15038373318043535, 0.984807753012208),
+    4 -> V3(1.0, 0.0, 0.0),
+    5 -> V3(0.4698463103929543, -0.8137976813493737, -0.3420201433256687),
+    6 -> V3(0.5648625214636235, 0.09960050292505122, 0.8191520442889918),
+    7 -> V3(-0.6182218954839706, 0.5374120947718249, 0.573576436351046),
+    8 -> V3(-0.49809734904587255, 0.862729915662821, -0.08715574274765817))
+  private val withinDistR2: Double = // chord^2 of 0.15 rad (JVM-computed)
+    { val s = math.sin(0.5 * 0.15); 4.0 * s * s }
+
+  /** documents + derived deterministic geometry (see object doc). */
+  private def docsGeo(s: SparkSession, dir: String): DataFrame =
+    S2Joins.withCellId(
+      s.read.parquet(s"$dir/documents.parquet")
+        .withColumn("lat", (col("doc_id") * 7919 % 17000) / 100.0 - 85.0)
+        .withColumn("lng", (col("doc_id") * 104729 % 36000) / 100.0 - 180.0),
+      col("lat"), col("lng"))
+
+  private val docsGeoSql =
+    """(SELECT doc_id, text, lang, n_chars,
+       (doc_id*7919 % 17000)/100.0 - 85.0 AS lat,
+       (doc_id*104729 % 36000)/100.0 - 180.0 AS lng FROM documents)"""
+
+  /** same points as xyz (oracle side computes sin/cos; sub-ULP noise is
+    * harmless because all predicates have >=0.005deg margins). */
+  private val docsXyzSql =
+    s"""(SELECT doc_id, lat, lng,
+        cos(radians(lng))*cos(radians(lat)) AS x,
+        sin(radians(lng))*cos(radians(lat)) AS y,
+        sin(radians(lat)) AS z FROM $docsGeoSql d)"""
+
+  // duckdb 3-word shingle list of an expression (normalized text)
+  private def shingleSql(textExpr: String): String = {
+    val words = s"string_split(trim(regexp_replace(lower($textExpr), '\\s+', ' ', 'g')), ' ')"
+    s"""list_distinct(list_transform(range(1, len($words) - 1),
+        i -> array_to_string(($words)[i:i+2], ' ')))"""
+  }
+
+  /** Flagship on sf0.001: full covering+PIP join (driver smoke rows>0). */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("q_s2_rect_join")(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // =====================================================================
+    // relational baseline (scan/agg/join/window over driver tables)
+    // =====================================================================
+    "q1_agg" -> ((s, dir) => {
+      s.read.parquet(s"$dir/lineitem.parquet")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(sum(round(col("l_quantity") * 100, 0).cast("long")).as("sum_qty100"),
+          sum(round(col("l_extendedprice") * 100, 0).cast("long")).as("sum_price100"),
+          count(lit(1)).as("cnt"))
+    }),
+
+    "q2_join_topn" -> ((s, dir) => {
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+      val o = s.read.parquet(s"$dir/orders.parquet")
+      li.groupBy("l_orderkey")
+        .agg(sum(round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 10000, 0)
+          .cast("long")).as("revenue"))
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_orderkey"), col("revenue"), col("o_orderpriority"))
+        .orderBy(col("revenue").desc, col("o_orderkey"))
+        .limit(10)
+    }),
+
+    "q3_events_window" -> ((s, dir) => {
+      s.read.parquet(s"$dir/events.parquet")
+        .groupBy(col("event_type"),
+          unix_timestamp(date_trunc("HOUR", col("ts"))).as("hour_ts"))
+        .agg(count(lit(1)).as("cnt"), round(sum("value"), 3).as("sum_value"))
+    }),
+
+    "q4_events_topper_user" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("value").desc, col("event_id"))
+      s.read.parquet(s"$dir/events.parquet")
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1)
+        .select("user_id", "event_id", "value")
+    }),
+
+    // =====================================================================
+    // S2 spatial joins (covering + exact refine; SURVEY §2.8/2.10)
+    // =====================================================================
+    "q_s2_rect_join" -> ((s, dir) => {
+      val regions: Seq[(Int, S2Region)] = rects.map { case (rid, lo, llo, hi, lhi) =>
+        rid -> (S2LatLngRect.fromDegrees(lo, llo, hi, lhi): S2Region) }
+      S2Joins.broadcastContainsJoin(docsGeo(s, dir), regions)
+        .groupBy(col("qid").as("rid"))
+        .agg(count(lit(1)).as("cnt"), sum("doc_id").as("sum_id"))
+    }),
+
+    "q_s2_cap_join" -> ((s, dir) => {
+      val regions: Seq[(Int, S2Region)] = caps.map { case (cid, c, r2) =>
+        cid -> (S2Cap(c, r2): S2Region) }
+      S2Joins.broadcastContainsJoin(docsGeo(s, dir), regions)
+        .groupBy(col("qid").as("cid"))
+        .agg(count(lit(1)).as("cnt"), sum("doc_id").as("sum_id"))
+    }),
+
+    "q_s2_pip_join" -> ((s, dir) => {
+      val regions: Seq[(Int, S2Region)] = Seq(
+        1 -> new S2Polygon(Array(S2Loop(P1))),
+        2 -> new S2Polygon(Array(S2Loop(P2))))
+      S2Joins.broadcastContainsJoin(docsGeo(s, dir), regions)
+        .groupBy(col("qid"))
+        .agg(count(lit(1)).as("cnt"), sum("doc_id").as("sum_id"))
+    }),
+
+    "q_s2_term_join" -> ((s, dir) => {
+      // large x large path: term equi-join + exact PIP refine (same result
+      // as q_s2_pip_join polygon 1, whose text form this is)
+      import s.implicits._
+      val polys = Seq((1, "0:0, 0:35, 30:35, 30:0")).toDF("qid", "poly")
+      S2Joins.termPolygonJoin(docsGeo(s, dir), polys)
+        .groupBy(col("qid"))
+        .agg(count(lit(1)).as("cnt"), sum("doc_id").as("sum_id"))
+    }),
+
+    "q_s2_knn" -> ((s, dir) => {
+      S2Joins.knnJoin(docsGeo(s, dir), knnTargets, k = 5)
+        .select("qid", "doc_id", "rank")
+    }),
+
+    "q_s2_within_dist" -> ((s, dir) => {
+      S2Joins.withinDistanceJoin(docsGeo(s, dir), knnTargets.take(4), 0.15)
+        .groupBy(col("qid"))
+        .agg(count(lit(1)).as("cnt"), sum("doc_id").as("sum_id"))
+    }),
+
+    // =====================================================================
+    // S2 cell algebra / tiling (rows-only: no SQL equivalent)
+    // =====================================================================
+    "q_s2_cell_tokens" -> ((s, dir) => {
+      docsGeo(s, dir).select(col("doc_id"),
+        S2.token(col("cell_id")).as("leaf_token"),
+        S2.token(S2.parent(col("cell_id"), 10)).as("l10_token"),
+        S2.level(col("cell_id")).as("leaf_level"))
+    }),
+
+    "q_s2_cell_rollup" -> ((s, dir) => {
+      Density.cellDensity(docsGeo(s, dir), 4)
+        .select(S2.token(col("cell")).as("cell_token"), col("weight"))
+    }),
+
+    "q_s2_covering" -> ((s, dir) => {
+      import s.implicits._
+      caps.toDF("cid", "center", "radius2")
+        .select(col("cid"),
+          explode(S2.capCoveringUdf(
+            degrees(asin(col("center.z"))),
+            degrees(atan2(col("center.y"), col("center.x"))),
+            lit(2.0) * asin(sqrt(col("radius2")) / 2.0),
+            lit(8), lit(0), lit(30))).as("cell"))
+        .select(col("cid"), S2.token(col("cell")).as("cell_token"))
+    }),
+
+    "q_s2_tile_assign" -> ((s, dir) => {
+      // 24 tiles = level-2 cells round-robin (S2RegionSharder semantics)
+      val level2 = Iterator.iterate(S2CellId.begin(2))(S2CellId.next)
+        .takeWhile(_ != S2CellId.end(2)).toArray
+      val tiles = level2.zipWithIndex.groupBy(_._2 % 24).toSeq
+        .map { case (tid, cs) => (tid, cs.map(_._1)) }
+      S2Joins.tileAssign(docsGeo(s, dir), tiles)
+        .groupBy("tile_id")
+        .agg(count(lit(1)).as("cnt"), sum("doc_id").as("sum_id"))
+    }),
+
+    "q_s2_neighbors" -> ((s, dir) => {
+      docsGeo(s, dir)
+        .select(col("doc_id"),
+          explode(S2.neighbors(S2.parent(col("cell_id"), 8), lit(8))).as("nbr"))
+        .groupBy("doc_id").agg(count(lit(1)).as("n_neighbors"),
+          countDistinct(col("nbr")).as("n_distinct"))
+    }),
+
+    // =====================================================================
+    // dedup / curation (training-pipeline ops)
+    // =====================================================================
+    "q_dedup_exact" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val aug = docs.select("doc_id", "text").unionByName(
+        docs.where(col("doc_id") % 7 === 0)
+          .select((col("doc_id") + 1000000).as("doc_id"), col("text")))
+      Dedup.exactDuplicates(aug, "doc_id", "text")
+        .where(col("dup_count") > 1)
+    }),
+
+    "q_dedup_jaccard" -> ((s, dir) => {
+      // planted near-dups: exact n-gram jaccard on the known pairs;
+      // jaccard = int/int division → bit-identical across engines
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val near = docs.where(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + 2000000).as("doc_id"),
+          concat(col("text"), lit(" zz qq ww")).as("text"))
+      val pairs = docs.select(col("doc_id").as("id_a"), col("text").as("text_a"))
+        .join(near.select(col("doc_id").as("id_b"), col("text").as("text_b")),
+          col("id_b") === col("id_a") + 2000000)
+      pairs.select(col("id_a"), col("id_b"),
+        Dedup.jaccard(col("text_a"), col("text_b"), 3).as("jaccard"))
+    }),
+
+    "q_dedup_minhash" -> ((s, dir) => { // rows-only (xxhash64 has no oracle)
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val aug = docs.select("doc_id", "text").unionByName(
+        docs.where(col("doc_id") % 5 === 0)
+          .select((col("doc_id") + 2000000).as("doc_id"),
+            concat(col("text"), lit(" zz qq")).as("text")))
+      Dedup.nearDuplicates(aug, "doc_id", "text", threshold = 0.5)
+    }),
+
+    "q_dedup_simhash" -> ((s, dir) => { // rows-only
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val aug = docs.select("doc_id", "text").unionByName(
+        docs.where(col("doc_id") % 7 === 0)
+          .select((col("doc_id") + 1000000).as("doc_id"), col("text")))
+      Dedup.simHashPairs(aug, "doc_id", "text", maxHamming = 3)
+    }),
+
+    "q_text_stats" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      docs.groupBy("lang")
+        .agg(count(lit(1)).as("cnt"),
+          sum(size(split(col("text"), " ", -1))).as("sum_tok"),
+          sum("n_chars").as("sum_chars"))
+    }),
+
+    "q_quality_hist" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      docs.select(floor(TextAnalysis.qualityScore(col("text")) * 20).as("bucket"))
+        .groupBy("bucket").agg(count(lit(1)).as("cnt"))
+    }),
+
+    "q_langid" -> ((s, dir) => { // rows-only (kernel udf)
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      docs.select(col("lang"), TextAnalysis.langId(col("text")).as("lang_pred"))
+        .groupBy("lang", "lang_pred").agg(count(lit(1)).as("cnt"))
+    }),
+
+    "q_fingerprint" -> ((s, dir) => { // rows-only (winnowing kernel)
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      docs.select(col("doc_id"),
+        TextAnalysis.fingerprint(col("text")).as("fp"))
+        .select(col("doc_id"), size(col("fp")).as("n_fp"),
+          expr("aggregate(fp, CAST(0 AS BIGINT), (acc, x) -> acc ^ x)").as("fp_xor"))
+    }),
+
+    // =====================================================================
+    // similarity search over embeddings
+    // =====================================================================
+    "q_ann_topk" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      val queries = emb.where(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      Similarity.bruteForceTopK(emb, "vec_id", "embedding", queries, "qid", "qv", 5)
+        .select("qid", "id", "rank")
+    }),
+
+    "q_cos_pairs" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+        .where(col("vec_id") < 100)
+      emb.select(col("vec_id").as("id_a"), col("embedding").as("va"))
+        .crossJoin(broadcast(
+          emb.select(col("vec_id").as("id_b"), col("embedding").as("vb"))))
+        .where(col("id_a") < col("id_b"))
+        .where(Similarity.cosine(col("va"), col("vb")) >= 0.25)
+        .select("id_a", "id_b")
+    }),
+
+    "q_ann_lsh" -> ((s, dir) => { // rows-only (approximate by design)
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      val queries = emb.where(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      Similarity.annTopK(emb, "vec_id", "embedding", queries, "qid", "qv",
+        k = 5, nPlanes = 4, tables = 8)
+        .select("qid", "id", "rank")
+    }),
+
+    // =====================================================================
+    // multimodal plumbing (integer arithmetic → oracle-able)
+    // =====================================================================
+    "q_media_frames" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val media = docs.select(
+        concat(lit("mr://"), col("doc_id")).as("media_ref"),
+        lit("video/mp4").as("mime"),
+        lit(null).cast("binary").as("bytes"),
+        struct(lit(64).as("width"), lit(64).as("height"),
+          ((col("doc_id") * 9973 % 59000) + 1000).as("duration_ms")).as("meta"))
+      Multimodal.sampleFrames(media, 4)
+        .select(col("media_ref"), col("frame_off"))
+    }))
+
+  /** DuckDB-runnable oracles (same parquet tables, same column names).
+    * Omitted for operators whose kernels have no SQL equivalent. */
+  def oracleSql: Map[String, String] = {
+    def pipEdge(vs: Array[V3], i: Int): String = {
+      val a = vs(i); val b = vs((i + 1) % vs.length)
+      val nx = a.y * b.z - a.z * b.y
+      val ny = a.z * b.x - a.x * b.z
+      val nz = a.x * b.y - a.y * b.x
+      s"(($nx)*x + ($ny)*y + ($nz)*z) > 0"
+    }
+    def pipWhere(vs: Array[V3]): String =
+      vs.indices.map(pipEdge(vs, _)).mkString(" AND ")
+
+    Map(
+      "q1_agg" ->
+        """SELECT l_returnflag, l_linestatus,
+           CAST(sum(CAST(round(l_quantity*100, 0) AS BIGINT)) AS BIGINT) AS sum_qty100,
+           CAST(sum(CAST(round(l_extendedprice*100, 0) AS BIGINT)) AS BIGINT) AS sum_price100,
+           count(*) AS cnt
+           FROM lineitem GROUP BY l_returnflag, l_linestatus""",
+
+      "q2_join_topn" ->
+        """SELECT o_orderkey, revenue, o_orderpriority FROM
+           (SELECT l_orderkey,
+                   CAST(sum(CAST(round(l_extendedprice*(1.0-l_discount)*10000, 0) AS BIGINT)) AS BIGINT) AS revenue
+            FROM lineitem GROUP BY l_orderkey) r
+           JOIN orders ON l_orderkey = o_orderkey
+           ORDER BY revenue DESC, o_orderkey LIMIT 10""",
+
+      "q3_events_window" ->
+        """SELECT event_type, CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_ts,
+           count(*) AS cnt, round(sum(value),3) AS sum_value
+           FROM events GROUP BY event_type, hour_ts""",
+
+      "q4_events_topper_user" ->
+        """SELECT user_id, event_id, value FROM
+           (SELECT user_id, event_id, value,
+                   row_number() OVER (PARTITION BY user_id
+                     ORDER BY value DESC, event_id) AS rn FROM events)
+           WHERE rn = 1""",
+
+      "q_s2_rect_join" -> s"""
+        SELECT r.rid, count(*) AS cnt, CAST(sum(d.doc_id) AS BIGINT) AS sum_id
+        FROM $docsGeoSql d
+        JOIN (VALUES ${rects.map { case (rid, lo, llo, hi, lhi) =>
+          s"($rid, $lo, $llo, $hi, $lhi)" }.mkString(", ")})
+          AS r(rid, lat_lo, lng_lo, lat_hi, lng_hi)
+        ON d.lat BETWEEN r.lat_lo AND r.lat_hi
+       AND d.lng BETWEEN r.lng_lo AND r.lng_hi
+        GROUP BY r.rid""",
+
+      "q_s2_cap_join" -> s"""
+        SELECT c.cid, count(*) AS cnt, CAST(sum(p.doc_id) AS BIGINT) AS sum_id
+        FROM $docsXyzSql p
+        JOIN (VALUES ${caps.map { case (cid, c, r2) =>
+          s"($cid, ${c.x}, ${c.y}, ${c.z}, $r2)" }.mkString(", ")})
+          AS c(cid, cx, cy, cz, r2)
+        ON (p.x-c.cx)*(p.x-c.cx) + (p.y-c.cy)*(p.y-c.cy) + (p.z-c.cz)*(p.z-c.cz) <= c.r2
+        GROUP BY c.cid""",
+
+      "q_s2_pip_join" -> s"""
+        SELECT qid, cnt, sum_id FROM (
+          SELECT 1 AS qid, count(*) AS cnt, CAST(sum(doc_id) AS BIGINT) AS sum_id
+          FROM $docsXyzSql p WHERE ${pipWhere(P1)}
+          UNION ALL
+          SELECT 2 AS qid, count(*) AS cnt, CAST(sum(doc_id) AS BIGINT) AS sum_id
+          FROM $docsXyzSql p WHERE ${pipWhere(P2)})
+        WHERE cnt > 0""",
+
+      "q_s2_term_join" -> s"""
+        SELECT 1 AS qid, count(*) AS cnt, CAST(sum(doc_id) AS BIGINT) AS sum_id
+        FROM $docsXyzSql p WHERE ${pipWhere(P1)}""",
+
+      "q_s2_knn" -> s"""
+        SELECT qid, doc_id, rank FROM (
+          SELECT t.qid, p.doc_id,
+                 CAST(row_number() OVER (PARTITION BY t.qid ORDER BY
+                   (p.x-t.tx)*(p.x-t.tx) + (p.y-t.ty)*(p.y-t.ty) + (p.z-t.tz)*(p.z-t.tz),
+                   p.doc_id) AS INT) AS rank
+          FROM $docsXyzSql p
+          CROSS JOIN (VALUES ${knnTargets.map { case (q, t) =>
+            s"($q, ${t.x}, ${t.y}, ${t.z})" }.mkString(", ")})
+            AS t(qid, tx, ty, tz))
+        WHERE rank <= 5""",
+
+      "q_s2_within_dist" -> s"""
+        SELECT t.qid, count(*) AS cnt, CAST(sum(p.doc_id) AS BIGINT) AS sum_id
+        FROM $docsXyzSql p
+        JOIN (VALUES ${knnTargets.take(4).map { case (q, t) =>
+          s"($q, ${t.x}, ${t.y}, ${t.z})" }.mkString(", ")})
+          AS t(qid, tx, ty, tz)
+        ON (p.x-t.tx)*(p.x-t.tx) + (p.y-t.ty)*(p.y-t.ty) + (p.z-t.tz)*(p.z-t.tz)
+           <= $withinDistR2
+        GROUP BY t.qid""",
+
+      "q_dedup_exact" -> """
+        SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS content_hash,
+               CAST(min(doc_id) AS BIGINT) AS keep_id, count(*) AS dup_count
+        FROM (SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 7 = 0)
+        GROUP BY content_hash HAVING count(*) > 1""",
+
+      "q_dedup_jaccard" -> s"""
+        WITH pairs AS (
+          SELECT a.doc_id AS id_a, a.text AS text_a,
+                 b.doc_id + 2000000 AS id_b, b.text || ' zz qq ww' AS text_b
+          FROM documents a JOIN documents b ON a.doc_id = b.doc_id
+          WHERE a.doc_id % 5 = 0),
+        sh AS (
+          SELECT id_a, id_b, ${shingleSql("text_a")} AS sa,
+                 ${shingleSql("text_b")} AS sb
+          FROM pairs)
+        SELECT id_a, id_b,
+               CASE WHEN len(list_distinct(list_concat(sa, sb))) = 0 THEN 0.0
+                    ELSE CAST(len(list_intersect(sa, sb)) AS DOUBLE) /
+                         len(list_distinct(list_concat(sa, sb))) END AS jaccard
+        FROM sh""",
+
+      "q_text_stats" -> """
+        SELECT lang, count(*) AS cnt,
+               CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS sum_tok,
+               CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        FROM documents GROUP BY lang""",
+
+      "q_quality_hist" -> """
+        WITH q AS (
+          SELECT CAST(length(text) AS DOUBLE) AS len,
+                 CAST(length(regexp_replace(text, '[^\p{L}]', '', 'g')) AS DOUBLE) AS alpha,
+                 CAST(length(regexp_replace(text, '[^.,;:!?''"()]', '', 'g')) AS DOUBLE) AS punct,
+                 length(text) - length(replace(text, ' ', '')) AS spaces
+          FROM documents),
+        s AS (
+          SELECT len, alpha, punct,
+                 CASE WHEN len > 0 THEN alpha/len ELSE 0.0 END AS alpha_ratio,
+                 CASE WHEN len > 0 THEN punct/len ELSE 0.0 END AS punct_ratio,
+                 (len - spaces) / (CAST(spaces AS DOUBLE) + 1.0) AS awl
+          FROM q),
+        f AS (
+          SELECT (CASE WHEN len < 20 THEN len/20.0 WHEN len > 20000 THEN 0.5 ELSE 1.0 END)
+               * (CASE WHEN awl >= 3 AND awl <= 12 THEN 1.0 ELSE 0.5 END)
+               * greatest(0.0, 1.0 - punct_ratio*4.0)
+               * least(1.0, alpha_ratio*1.4) AS raw
+          FROM s)
+        SELECT CAST(floor(round(greatest(0.0, least(1.0, raw)), 6) * 20) AS BIGINT) AS bucket,
+               count(*) AS cnt
+        FROM f GROUP BY bucket""",
+
+      "q_ann_topk" -> """
+        SELECT qid, id, rank FROM (
+          SELECT q.vec_id AS qid, d.vec_id AS id,
+                 CAST(row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                   (list_sum(list_transform(list_zip(d.embedding, q.embedding),
+                      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+                    / (sqrt(list_sum(list_transform(d.embedding,
+                         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                     * sqrt(list_sum(list_transform(q.embedding,
+                         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))) DESC,
+                   d.vec_id) AS INT) AS rank
+          FROM embeddings d
+          CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 10) q)
+        WHERE rank <= 5""",
+
+      "q_cos_pairs" -> """
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM (SELECT * FROM embeddings WHERE vec_id < 100) a
+        JOIN (SELECT * FROM embeddings WHERE vec_id < 100) b
+          ON a.vec_id < b.vec_id
+        WHERE list_sum(list_transform(list_zip(a.embedding, b.embedding),
+                p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+              / (sqrt(list_sum(list_transform(a.embedding,
+                   x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+               * sqrt(list_sum(list_transform(b.embedding,
+                   x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) >= 0.25""",
+
+      "q_media_frames" -> """
+        SELECT 'mr://' || doc_id AS media_ref,
+               ((doc_id*9973 % 59000) + 1000) * (2*i + 1) // 8 AS frame_off
+        FROM documents, generate_series(0, 3) AS g(i)""")
+  }
 }

@@ -171,39 +171,51 @@ object S2Joins {
     *
     * Returns (qid, doc_id, dist2, rank). */
   def knnJoin(docs: DataFrame, targets: Seq[(Int, V3)], k: Int,
+              idCol: String = "doc_id",
               latCol: String = "lat", lngCol: String = "lng"): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
     val spark = docs.sparkSession
-    import spark.implicits._
     val bT = spark.sparkContext.broadcast(targets.toArray)
 
-    val partial = docs
-      .select(col("doc_id"), col(latCol).as("lat"), col(lngCol).as("lng"))
-      .as[(String, Double, Double)]
-      .mapPartitions { it =>
-        val ts = bT.value
-        // per-target bounded max-heaps of (dist2, doc_id)
-        val heaps = Array.fill(ts.length)(
-          new scala.collection.mutable.PriorityQueue[(Double, String)]()(
-            Ordering.Tuple2(Ordering.Double.TotalOrdering,
-              Ordering.String.reverse)))
-        it.foreach { case (id, lat, lng) =>
-          val p = V3.fromLatLngDegrees(lat, lng)
-          var i = 0
-          while (i < ts.length) {
-            val d = (p - ts(i)._2).norm2
-            val h = heaps(i)
-            if (h.size < k) h.enqueue((d, id))
-            else if (d < h.head._1 ||
-                     (d == h.head._1 && id < h.head._2)) {
-              h.dequeue(); h.enqueue((d, id))
-            }
-            i += 1
+    val in = docs.select(col(idCol), col(latCol).cast("double"), col(lngCol).cast("double"))
+    val outSchema = StructType(Seq(
+      StructField("qid", IntegerType, nullable = false),
+      in.schema.fields(0).copy(name = "doc_id"),
+      StructField("dist2", DoubleType, nullable = false)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
+
+    // heap entry: (dist2, id); max-heap on dist2 with id DESC tiebreak so
+    // the worst (largest dist, largest id) sits on top and is evicted first
+    val ord = new Ordering[(Double, Any)] {
+      def compare(a: (Double, Any), b: (Double, Any)): Int = {
+        val c = java.lang.Double.compare(a._1, b._1)
+        if (c != 0) c
+        else b._2.asInstanceOf[Comparable[Any]].compareTo(a._2)
+      }
+    }
+    val partial = in.mapPartitions { it =>
+      val ts = bT.value
+      val heaps = Array.fill(ts.length)(
+        new scala.collection.mutable.PriorityQueue[(Double, Any)]()(ord))
+      it.foreach { r =>
+        val id = r.get(0)
+        val p = V3.fromLatLngDegrees(r.getDouble(1), r.getDouble(2))
+        var i = 0
+        while (i < ts.length) {
+          val d = (p - ts(i)._2).norm2
+          val h = heaps(i)
+          if (h.size < k) h.enqueue((d, id))
+          else if (ord.compare((d, id), h.head) < 0) {
+            h.dequeue(); h.enqueue((d, id))
           }
+          i += 1
         }
-        heaps.iterator.zipWithIndex.flatMap { case (h, i) =>
-          h.iterator.map { case (d, id) => (ts(i)._1, id, d) }
-        }
-      }.toDF("qid", "doc_id", "dist2")
+      }
+      heaps.iterator.zipWithIndex.flatMap { case (h, i) =>
+        h.iterator.map { case (d, id) => Row(ts(i)._1, id, d) }
+      }
+    }(enc)
 
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("qid").orderBy(col("dist2"), col("doc_id"))
