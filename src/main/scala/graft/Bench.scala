@@ -1,24 +1,115 @@
 package graft
-import org.apache.spark.sql.SparkSession
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core._
+import graft.operators._
+import graft.sources.DocSource
+
+/** Benchmark main (driver-run): headline queries on SPARK_GRAFT_SF_DIR
+  * plus the north-rule flagship job — S2 covering + PIP spatial join +
+  * tile assignment over the synthetic interleaved docs table — measured
+  * at two parallelism levels (local[N/4] vs local[N]) as the sandbox
+  * stand-in for N vs 4N executors (BASELINE.md).
+  *
+  * Prints ONE JSON line:
+  *   {"metric":"total","value":<sec>,"unit":"sec","queries":{...},
+  *    "pipeline":{"docs":…,"docs_per_sec":…, "scaling":{…}}, "sf":"…"}
+  */
 object Bench {
+  private val headline = Seq(
+    "q1_agg", "q_s2_rect_join", "q_s2_pip_join", "q_s2_knn",
+    "q_s2_tile_assign", "q_dedup_minhash", "q_ann_topk", "q_text_stats")
+
+  private def session(cores: Int): SparkSession = {
+    val s = SparkSession.builder()
+      .master(s"local[$cores]")
+      .config("spark.sql.shuffle.partitions", cores.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .config("spark.driver.memory", sys.env.getOrElse("SPARK_GRAFT_DRIVER_MEM", "8g"))
+      .getOrCreate()
+    s.sparkContext.setLogLevel("ERROR")
+    s
+  }
+
+  /** Materialize the synthetic interleaved docs table once (generation is
+    * not part of the measured job — the north rule measures covering +
+    * PIP join + tile assignment over an existing table). */
+  def materializeDocs(spark: SparkSession, n: Long, path: String): Unit =
+    DocSource.docs(spark, n, parallelism = 64)
+      .write.mode("overwrite").parquet(path)
+
+  /** The flagship three-stage job over the materialized table: ingest
+    * (cell ids) → covering+PIP join (6 regions) → tile assign →
+    * per-(qid,tile) counts. Returns total matched rows. */
+  def pipeline(spark: SparkSession, docsPath: String): Long = {
+    val docs = S2Joins.withCellId(spark.read.parquet(docsPath),
+      col("lat"), col("lng"))
+    val regions: Seq[(Int, S2Region)] = Seq(
+      1 -> S2TextFormat.parsePolygon("0:0, 0:35, 30:35, 30:0"),
+      2 -> S2TextFormat.parsePolygon("-40:-80, -40:-30, -10:-30, -10:-80"),
+      3 -> S2Cap.fromCenterAngle(V3.fromLatLngDegrees(48, 2), 0.08),
+      4 -> S2LatLngRect.fromDegrees(-25, 100, 5, 140),
+      5 -> S2Cap.fromCenterAngle(V3.fromLatLngDegrees(-33, 151), 0.05),
+      6 -> S2TextFormat.parsePolygon("35:-10, 35:30, 60:30, 60:-10"))
+    val joined = S2Joins.broadcastContainsJoin(docs, regions)
+    val level2 = Iterator.iterate(S2CellId.begin(2))(S2CellId.next)
+      .takeWhile(_ != S2CellId.end(2)).toArray
+    val tiles = level2.zipWithIndex.groupBy(_._2 % 24).toSeq
+      .map { case (tid, cs) => (tid, cs.map(_._1)) }
+    S2Joins.tileAssign(joined, tiles)
+      .groupBy("qid", "tile_id").count()
+      .agg(sum("count")).head().getLong(0)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      math.max(8, Runtime.getRuntime.availableProcessors()).toString).toInt
+    val benchDocs = sys.env.getOrElse("SPARK_GRAFT_BENCH_DOCS", "32000000").toLong
+
+    // ---- phase 1: headline queries at full parallelism ----
+    var spark = session(cpus)
+    // warmup (JIT + codegen caches) on the small SF
+    try SparkEntry.queries("q1_agg")(spark, sfDir).count() catch { case _: Throwable => }
+    val results = headline.map { name =>
+      val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+
+    // ---- phase 2: flagship pipeline at cpus, then cpus/4 ----
+    val docsPath = s"/tmp/graft_bench_docs_$benchDocs"
+    if (!new java.io.File(s"$docsPath/_SUCCESS").exists())
+      materializeDocs(spark, benchDocs, docsPath)
+    def best(reps: Int)(f: => Unit): Double =
+      (1 to reps).map { _ =>
+        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+      }.min
+
+    pipeline(spark, docsPath) // warmup
+    var matched = 0L
+    val tHi = best(2) { matched = pipeline(spark, docsPath) }
     spark.stop()
+
+    val lowCores = math.max(1, cpus / 4)
+    spark = session(lowCores)
+    pipeline(spark, docsPath) // re-warm new session
+    val tLo = best(2) { pipeline(spark, docsPath) }
+    spark.stop()
+
+    val speedup = tLo / tHi
+    val efficiency = speedup / (cpus.toDouble / lowCores)
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val total = results.map(_._2).sum
+    val pipelineJson =
+      s"""{"docs":$benchDocs,"matched":$matched,"cores_hi":$cpus,"cores_lo":$lowCores,""" +
+      s""""sec_hi":$tHi,"sec_lo":$tLo,"docs_per_sec_hi":${benchDocs / tHi},""" +
+      s""""docs_per_sec_lo":${benchDocs / tLo},"speedup":$speedup,"scaling_efficiency":$efficiency}"""
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s""""pipeline":$pipelineJson,"sf":"$sfDir"}""")
   }
 }

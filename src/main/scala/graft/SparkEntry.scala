@@ -57,6 +57,10 @@ object SparkEntry {
     8 -> V3(-0.49809734904587255, 0.862729915662821, -0.08715574274765817))
   private val withinDistR2: Double = // chord^2 of 0.15 rad (JVM-computed)
     { val s = math.sin(0.5 * 0.15); 4.0 * s * s }
+  private val knnEdges = Seq( // geodesic test edges for the closest-edge query
+    (1, V3.fromLatLngDegrees(0, 0), V3.fromLatLngDegrees(0, 30)),
+    (2, V3.fromLatLngDegrees(-30, -120), V3.fromLatLngDegrees(10, -100)),
+    (3, V3.fromLatLngDegrees(50, 100), V3.fromLatLngDegrees(70, 160)))
 
   /** documents + derived deterministic geometry (see object doc). */
   private def docsGeo(s: SparkSession, dir: String): DataFrame =
@@ -328,6 +332,18 @@ object SparkEntry {
         .select("qid", "id", "rank")
     }),
 
+    "q_s2_closest_edge" -> ((s, dir) => {
+      // docs within chord^2 <= 0.01 of each geodesic edge, via the
+      // closest-edge query operator (S2ClosestEdgeQuery semantics)
+      val shapes = knnEdges.map { case (sid, a, b) =>
+        EdgeQueries.Shape(sid, Array(a, b), closed = false) }
+      EdgeQueries.closestShapesJoin(docsGeo(s, dir), shapes,
+        k = shapes.length, maxDist2 = 0.01,
+        idCol = "doc_id")
+        .groupBy(col("shape_id").as("sid"))
+        .agg(count(lit(1)).as("cnt"), sum("doc_id").as("sum_id"))
+    }),
+
     // =====================================================================
     // multimodal plumbing (integer arithmetic → oracle-able)
     // =====================================================================
@@ -517,6 +533,39 @@ object SparkEntry {
                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
                * sqrt(list_sum(list_transform(b.embedding,
                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) >= 0.25""",
+
+      "q_s2_closest_edge" -> {
+        // mirror the kernel (S2EdgeDistances.distance2) term by term; the
+        // robust cross product C = a x b is a constant per edge, computed
+        // HERE by the same Scala kernel and embedded as literals, so both
+        // engines evaluate the identical IEEE expression on each row.
+        val eps = "2.220446049250313E-16"
+        def edgeDist2Sql(a: V3, b: V3): String = {
+          val c = S2EdgeCrossings.robustCrossProd(a, b)
+          val c2 = c.norm2
+          val ab2 = (a - b).norm2
+          val xa2 = s"((x-(${a.x}))*(x-(${a.x})) + (y-(${a.y}))*(y-(${a.y})) + (z-(${a.z}))*(z-(${a.z})))"
+          val xb2 = s"((x-(${b.x}))*(x-(${b.x})) + (y-(${b.y}))*(y-(${b.y})) + (z-(${b.z}))*(z-(${b.z})))"
+          val cxX = s"((${c.y})*z - (${c.z})*y)"
+          val cxY = s"((${c.z})*x - (${c.x})*z)"
+          val cxZ = s"((${c.x})*y - (${c.y})*x)"
+          val xDotC = s"(x*(${c.x}) + y*(${c.y}) + z*(${c.z}))"
+          val aMxDotCx = s"(((${a.x})-x)*$cxX + ((${a.y})-y)*$cxY + ((${a.z})-z)*$cxZ)"
+          val bMxDotCx = s"(((${b.x})-x)*$cxX + ((${b.y})-y)*$cxY + ((${b.z})-z)*$cxZ)"
+          val cx2 = s"($cxX*$cxX + $cxY*$cxY + $cxZ*$cxZ)"
+          val qr = s"(1 - sqrt($cx2 / ($c2)))"
+          s"""(CASE WHEN abs($xa2 - $xb2) >= ($ab2) + 4.75 * $eps * ($xa2 + $xb2 + ($ab2)) + 8 * $eps * $eps
+                 THEN least($xa2, $xb2)
+               WHEN $aMxDotCx >= 0 OR $bMxDotCx <= 0
+                 THEN least($xa2, $xb2)
+               ELSE ($xDotC * $xDotC / ($c2)) + $qr * $qr END)"""
+        }
+        s"""SELECT sid, count(*) AS cnt, CAST(sum(doc_id) AS BIGINT) AS sum_id FROM (
+             ${knnEdges.map { case (sid, a, b) =>
+               s"SELECT $sid AS sid, doc_id FROM $docsXyzSql p WHERE ${edgeDist2Sql(a, b)} <= 0.01"
+             }.mkString(" UNION ALL ")})
+           GROUP BY sid"""
+      },
 
       "q_media_frames" -> """
         SELECT 'mr://' || doc_id AS media_ref,

@@ -1,0 +1,81 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+import graft.core._
+
+/** Typed aggregators over geometry columns (SURVEY.md §2.14): cell-union
+  * merge, bounding-rect union, and true-centroid sum. All are associative
+  * and commutative → Spark runs them with map-side partial aggregation,
+  * so the shuffle carries one small buffer per partition, not rows. */
+object Aggregators {
+
+  import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+
+  /** Union + normalize of cell-id arrays per group (S2CellUnion::Union
+    * semantics, /root/reference/src/s2/s2cell_union.cc:347-353). The
+    * buffer is kept normalized so its size stays bounded by covering
+    * complexity, not group size. */
+  def cellUnionColumn(cells: Column): Column = {
+    val agg = new Aggregator[Array[Long], Array[Long], Array[Long]] {
+      def zero: Array[Long] = Array.emptyLongArray
+      def reduce(b: Array[Long], a: Array[Long]): Array[Long] =
+        if (a == null || a.isEmpty) b else S2CellUnion.union(b, a)
+      def merge(b1: Array[Long], b2: Array[Long]): Array[Long] =
+        S2CellUnion.union(b1, b2)
+      def finish(r: Array[Long]): Array[Long] = r
+      def bufferEncoder: Encoder[Array[Long]] = ExpressionEncoder[Array[Long]]()
+      def outputEncoder: Encoder[Array[Long]] = ExpressionEncoder[Array[Long]]()
+    }
+    org.apache.spark.sql.functions.udaf(agg).apply(cells)
+  }
+
+  /** Bounding lat/lng rect of (lat,lng) degree pairs per group, emitted as
+    * struct(lat_lo, lng_lo, lat_hi, lng_hi) degrees (S2LatLngRect::Union /
+    * AddPoint semantics, lng interval wraps). */
+  def rectBoundColumn(latDeg: Column, lngDeg: Column): Column = {
+    type Buf = (Double, Double, Double, Double, Boolean) // latLo,latHi,lngLo,lngHi(rad),nonEmpty
+    val agg = new Aggregator[(Double, Double), Buf, (Double, Double, Double, Double)] {
+      private def toRect(b: Buf): S2LatLngRect =
+        S2LatLngRect(R1Interval(b._1, b._2), S1Interval(b._3, b._4))
+      private def fromRect(r: S2LatLngRect): Buf =
+        (r.lat.lo, r.lat.hi, r.lng.lo, r.lng.hi, true)
+      def zero: Buf = (1.0, -1.0, math.Pi, -math.Pi, false) // empty intervals
+      def reduce(b: Buf, p: (Double, Double)): Buf = {
+        val pt = V3.fromLatLngDegrees(p._1, p._2)
+        val r = if (!b._5) S2LatLngRect.fromPointPair(
+          math.toRadians(p._1), math.toRadians(p._2),
+          math.toRadians(p._1), math.toRadians(p._2))
+        else toRect(b).addPoint(pt)
+        fromRect(r)
+      }
+      def merge(a: Buf, b: Buf): Buf =
+        if (!a._5) b else if (!b._5) a else fromRect(toRect(a).union(toRect(b)))
+      def finish(b: Buf): (Double, Double, Double, Double) =
+        (math.toDegrees(b._1), math.toDegrees(b._3),
+         math.toDegrees(b._2), math.toDegrees(b._4))
+      def bufferEncoder: Encoder[Buf] = ExpressionEncoder[(Double, Double, Double, Double, Boolean)]()
+      def outputEncoder: Encoder[(Double, Double, Double, Double)] =
+        ExpressionEncoder[(Double, Double, Double, Double)]()
+    }
+    org.apache.spark.sql.functions.udaf(agg).apply(latDeg, lngDeg)
+  }
+
+  /** True centroid (unnormalized vector sum — reference TrueCentroid
+    * convention: scale-free, add across groups; s2centroids.cc). */
+  def centroidColumn(latDeg: Column, lngDeg: Column): Column = {
+    type V = (Double, Double, Double)
+    val agg = new Aggregator[(Double, Double), V, V] {
+      def zero: V = (0.0, 0.0, 0.0)
+      def reduce(b: V, p: (Double, Double)): V = {
+        val v = V3.fromLatLngDegrees(p._1, p._2)
+        (b._1 + v.x, b._2 + v.y, b._3 + v.z)
+      }
+      def merge(a: V, b: V): V = (a._1 + b._1, a._2 + b._2, a._3 + b._3)
+      def finish(b: V): V = b
+      def bufferEncoder: Encoder[V] = ExpressionEncoder[(Double, Double, Double)]()
+      def outputEncoder: Encoder[V] = ExpressionEncoder[(Double, Double, Double)]()
+    }
+    org.apache.spark.sql.functions.udaf(agg).apply(latDeg, lngDeg)
+  }
+}

@@ -7,157 +7,173 @@ import graft.core._
   * (/root/reference/src/s2/s2cell_index.h:70-171,
   *  /root/reference/src/s2/s2region_sharder.h:28-71).
   *
-  * Each labeled region contributes its covering cells as half-open leaf
-  * ranges on the Hilbert order (sign-flipped cell ids, so plain signed
-  * comparison is correct across all 6 faces). Lookup of a leaf cell is a
-  * binary search + bounded backward scan — O(log n + hits), allocation-free
-  * on the miss path.
+  * Build flattens the labeled leaf ranges (on the sign-flipped Hilbert
+  * order, so plain signed comparison is correct across all 6 faces) into
+  * DISJOINT elementary segments, each carrying its full (label, interior,
+  * level) list. A lookup is then exactly one binary search + O(hits) —
+  * no scan bound that degenerates when coverings contain face-level cells
+  * (a covering of a hemisphere produces ~2^61-wide intervals; any
+  * "bounded backward scan" scheme collapses to O(n) there).
   *
-  * This structure is small (≤ ~1M intervals) and is *broadcast* to
-  * executors; it turns a spatial join against a modest region/tile set into
-  * a narrow, shuffle-free map over the big table — the plan we want at
-  * 100 TB whenever one side fits in memory.
+  * This structure is small (≤ ~1M segments) and is *broadcast* to
+  * executors; it turns a spatial join against a modest region/tile set
+  * into a narrow, shuffle-free map over the big table — the plan we want
+  * at 100 TB whenever one side fits in memory.
   */
 final class CellIntervalIndex private (
-    private val lo: Array[Long],      // rangeMin order-key, sorted
-    private val hi: Array[Long],      // rangeMax order-key
-    private val label: Array[Int],    // region/tile label per interval
-    private val cellLevel: Array[Int],// level of the covering cell
-    private val interior: Array[Boolean], // cell fully inside region?
-    private val maxSpan: Long         // max interval width (scan bound)
+    private val segStart: Array[Long],        // disjoint segment starts (sorted)
+    private val segEnd: Array[Long],          // inclusive segment ends
+    private val segOff: Array[Int],           // offset into entry arrays
+    private val entryLabel: Array[Int],       // per (segment, entry)
+    private val entryInterior: Array[Boolean],
+    private val entryLevel: Array[Int]
 ) extends Serializable {
 
-  def size: Int = lo.length
+  def size: Int = segStart.length
 
-  /** a - b saturating at Long.MinValue (face-level intervals span ~2^61,
-    * so a plain subtraction underflows near the low end of the order). */
-  @inline private def satSub(a: Long, b: Long): Long =
-    if (a < Long.MinValue + b) Long.MinValue else a - b
+  /** Index of the segment containing `ord`, or -1. */
+  @inline private def findSeg(ord: Long): Int = {
+    var l = 0; var r = segStart.length
+    while (l < r) { val m = (l + r) >>> 1; if (segStart(m) <= ord) l = m + 1 else r = m }
+    val i = l - 1
+    if (i >= 0 && segEnd(i) >= ord) i else -1
+  }
 
-  /** All distinct labels whose covering contains leaf cell `id`
-    * (callers pass a *leaf* cell; containment = point stabbing).
-    * Appends (label, interior, level) triples via the visitor. */
+  /** Visit (label, interior, level) of every covering entry containing the
+    * leaf order-key. Entries are pre-deduplicated per label at build. */
   def visit(leafOrd: Long)(f: (Int, Boolean, Int) => Unit): Unit = {
-    if (lo.length == 0) return
-    // rightmost interval with lo <= leafOrd
-    var l = 0; var r = lo.length
-    while (l < r) { val m = (l + r) >>> 1; if (lo(m) <= leafOrd) l = m + 1 else r = m }
-    var i = l - 1
-    // intervals are sorted by lo; any containing interval has
-    // lo >= leafOrd - maxSpan (since hi - lo <= maxSpan)
-    val floor = satSub(leafOrd, maxSpan)
-    while (i >= 0 && lo(i) >= floor) {
-      if (hi(i) >= leafOrd) f(label(i), interior(i), cellLevel(i))
-      i -= 1
-    }
+    val s = findSeg(leafOrd)
+    if (s < 0) return
+    var i = segOff(s)
+    val end = segOff(s + 1)
+    while (i < end) { f(entryLabel(i), entryInterior(i), entryLevel(i)); i += 1 }
   }
 
-  /** Labels containing the leaf cell (distinct, ascending). */
+  /** Labels containing the leaf cell (distinct ascending). */
   def labelsContaining(leafOrd: Long): Array[Int] = {
-    val out = scala.collection.mutable.SortedSet.empty[Int]
-    visit(leafOrd)((lab, _, _) => out += lab)
-    out.toArray
+    val s = findSeg(leafOrd)
+    if (s < 0) return Array.emptyIntArray
+    java.util.Arrays.copyOfRange(entryLabel, segOff(s), segOff(s + 1))
   }
 
-  /** (label, interior) pairs; interior=true if ANY covering interval that
-    * contains the leaf is an interior cell — lets callers skip the exact
-    * refine test (coverer interior-covering optimization). */
+  /** (label, interiorHit) pairs for a leaf: interior=true if any covering
+    * entry containing it is an interior cell — callers skip the exact
+    * refine for those (coverer interior-covering optimization). */
   def candidates(leafOrd: Long): Array[(Int, Boolean)] = {
-    val m = scala.collection.mutable.SortedMap.empty[Int, Boolean]
-    visit(leafOrd)((lab, in, _) => m.update(lab, m.getOrElse(lab, false) || in))
-    m.toArray
+    val s = findSeg(leafOrd)
+    if (s < 0) return Array.empty
+    val out = new Array[(Int, Boolean)](segOff(s + 1) - segOff(s))
+    var i = segOff(s); var k = 0
+    while (i < segOff(s + 1)) {
+      out(k) = (entryLabel(i), entryInterior(i)); i += 1; k += 1
+    }
+    out
   }
 
-  /** Most-intersecting label for a covering (S2RegionSharder
-    * GetMostIntersectingShard semantics: maximize leaf cells of the
-    * intersection; ties → smallest label; miss → default). */
-  def mostIntersecting(covering: Array[Long], default: Int): Int = {
+  /** Total leaf-cell overlap weight per label for a covering; used by
+    * mostIntersecting. Iterates segments overlapping each covering cell —
+    * O(log n + touched segments). */
+  private def overlapWeights(covering: Array[Long]): scala.collection.mutable.SortedMap[Int, Long] = {
     val weights = scala.collection.mutable.SortedMap.empty[Int, Long]
     var k = 0
     while (k < covering.length) {
       val c = covering(k)
       val cLo = S2CellId.orderKey(S2CellId.rangeMin(c))
       val cHi = S2CellId.orderKey(S2CellId.rangeMax(c))
-      // overlap of [cLo,cHi] with each interval: find first interval with
-      // lo <= cHi, walk back while overlap possible
-      if (lo.length > 0) {
-        var l = 0; var r = lo.length
-        while (l < r) { val m = (l + r) >>> 1; if (lo(m) <= cHi) l = m + 1 else r = m }
-        var i = l - 1
-        val floor = satSub(cLo, maxSpan)
-        while (i >= 0 && lo(i) >= floor) {
-          val ovLo = math.max(lo(i), cLo); val ovHi = math.min(hi(i), cHi)
-          if (ovLo <= ovHi) {
-            // leaf count of overlap: ranges are leaf-aligned inclusive
-            val w = (ovHi - ovLo) / 2 + 1 // leaf ids step by 2 in id space
-            weights.update(label(i), weights.getOrElse(label(i), 0L) + w)
+      // first segment that might overlap
+      var l = 0; var r = segStart.length
+      while (l < r) { val m = (l + r) >>> 1; if (segStart(m) <= cLo) l = m + 1 else r = m }
+      var i = math.max(0, l - 1)
+      while (i < segStart.length && segStart(i) <= cHi) {
+        val ovLo = math.max(segStart(i), cLo); val ovHi = math.min(segEnd(i), cHi)
+        if (ovLo <= ovHi) {
+          val w = (ovHi - ovLo) / 2 + 1 // leaf ids step by 2
+          var e = segOff(i)
+          while (e < segOff(i + 1)) {
+            val lab = entryLabel(e)
+            weights.update(lab, weights.getOrElse(lab, 0L) + w)
+            e += 1
           }
-          i -= 1
         }
+        i += 1
       }
       k += 1
     }
+    weights
+  }
+
+  /** Most-intersecting label for a covering (S2RegionSharder
+    * GetMostIntersectingShard semantics: maximize leaf-cell overlap;
+    * ties → smallest label; miss → default). */
+  def mostIntersecting(covering: Array[Long], default: Int): Int = {
+    val weights = overlapWeights(covering)
     if (weights.isEmpty) default
     else weights.maxBy { case (lab, w) => (w, -lab) }._1
   }
 
   /** All labels whose covering intersects the given covering. */
-  def intersectingLabels(covering: Array[Long]): Array[Int] = {
-    val out = scala.collection.mutable.SortedSet.empty[Int]
-    var k = 0
-    while (k < covering.length) {
-      val c = covering(k)
-      val cLo = S2CellId.orderKey(S2CellId.rangeMin(c))
-      val cHi = S2CellId.orderKey(S2CellId.rangeMax(c))
-      if (lo.length > 0) {
-        var l = 0; var r = lo.length
-        while (l < r) { val m = (l + r) >>> 1; if (lo(m) <= cHi) l = m + 1 else r = m }
-        var i = l - 1
-        val floor = satSub(cLo, maxSpan)
-        while (i >= 0 && lo(i) >= floor) {
-          if (math.min(hi(i), cHi) >= math.max(lo(i), cLo)) out += label(i)
-          i -= 1
-        }
-      }
-      k += 1
-    }
-    out.toArray
-  }
+  def intersectingLabels(covering: Array[Long]): Array[Int] =
+    overlapWeights(covering).keys.toArray
 }
 
 object CellIntervalIndex {
-  /** Build from (label, covering, interiorCovering) triples. The interior
-    * covering (cells fully inside the region) may be empty; its cells are
-    * marked so lookups can skip the exact containment refine. */
+  /** Build from (label, covering, interiorCovering) triples. */
   def build(entries: Seq[(Int, Array[Long], Array[Long])]): CellIntervalIndex = {
-    val rows = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Int, Int, Boolean)]
+    // (lo, hi, label, level, interior) raw intervals
+    val raw = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Int, Int, Boolean)]
     for ((lab, covering, interiorCells) <- entries) {
       val interiorSet = interiorCells.toSet
-      // interior cells may not be listed in `covering`; index both, marking
-      // interior ones. A covering cell that equals an interior cell is
-      // indexed once as interior.
       val all = (covering.map(c => (c, interiorSet.contains(c)))
         ++ interiorCells.filterNot(covering.contains).map(c => (c, true)))
       for ((c, isInt) <- all) {
-        rows += ((S2CellId.orderKey(S2CellId.rangeMin(c)),
-                  S2CellId.orderKey(S2CellId.rangeMax(c)),
-                  lab, S2CellId.level(c), isInt))
+        raw += ((S2CellId.orderKey(S2CellId.rangeMin(c)),
+                 S2CellId.orderKey(S2CellId.rangeMax(c)),
+                 lab, S2CellId.level(c), isInt))
       }
     }
-    val sorted = rows.sortBy(_._1).toArray
-    val n = sorted.length
-    val lo = new Array[Long](n); val hi = new Array[Long](n)
-    val lab = new Array[Int](n); val lvl = new Array[Int](n)
-    val inte = new Array[Boolean](n)
-    var maxSpan = 0L
-    var i = 0
-    while (i < n) {
-      val (a, b, l, v, t) = sorted(i)
-      lo(i) = a; hi(i) = b; lab(i) = l; lvl(i) = v; inte(i) = t
-      if (b - a > maxSpan) maxSpan = b - a
-      i += 1
+    // sweep: elementary segments between consecutive boundary points
+    // boundaries: each interval contributes [lo, hi+1)
+    val bounds = raw.flatMap { case (lo, hi, _, _, _) =>
+      Seq(lo, if (hi == Long.MaxValue) Long.MaxValue else hi + 1)
+    }.distinct.sorted.toArray
+    val starts = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val ends = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val offs = scala.collection.mutable.ArrayBuffer.empty[Int]
+    val eLab = scala.collection.mutable.ArrayBuffer.empty[Int]
+    val eInt = scala.collection.mutable.ArrayBuffer.empty[Boolean]
+    val eLvl = scala.collection.mutable.ArrayBuffer.empty[Int]
+    val sortedRaw = raw.sortBy(_._1).toArray
+    var rawFrom = 0
+    // active set maintained with a simple scan per segment (#segments and
+    // overlap depth are both small: depth <= 31 x regions)
+    val active = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Int, Int, Boolean)]
+    var bi = 0
+    while (bi < bounds.length - 1) {
+      val s = bounds(bi)
+      val e = bounds(bi + 1) - 1 // inclusive; bounds(bi+1) = next start
+      // add intervals starting at or before s
+      while (rawFrom < sortedRaw.length && sortedRaw(rawFrom)._1 <= s) {
+        active += sortedRaw(rawFrom); rawFrom += 1
+      }
+      // drop intervals ending before s
+      var ai = active.length - 1
+      while (ai >= 0) { if (active(ai)._2 < s) active.remove(ai); ai -= 1 }
+      if (active.nonEmpty) {
+        // entries: per label, interior = any interior entry; level = min
+        val byLabel = active.groupBy(_._3).toSeq.sortBy(_._1)
+        starts += s; ends += e; offs += eLab.length
+        for ((lab, group) <- byLabel) {
+          eLab += lab
+          eInt += group.exists(_._5)
+          eLvl += group.map(_._4).min
+        }
+      }
+      bi += 1
     }
-    new CellIntervalIndex(lo, hi, lab, lvl, inte, maxSpan)
+    offs += eLab.length
+    // merge adjacent identical segments (same entry slice) for compactness
+    new CellIntervalIndex(starts.toArray, ends.toArray, offs.toArray,
+      eLab.toArray, eInt.toArray, eLvl.toArray)
   }
 
   /** Build from regions: covering + interior covering via the reference

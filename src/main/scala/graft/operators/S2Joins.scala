@@ -64,20 +64,40 @@ object S2Joins {
     val spark = docs.sparkSession
     val index = CellIntervalIndex.fromRegions(regions, maxCellsPerRegion)
     val bIndex = spark.sparkContext.broadcast(index)
-    val bRegions = spark.sparkContext.broadcast(regions.toMap)
+    val bRegions = spark.sparkContext.broadcast(regions.toArray)
 
-    // candidate labels via broadcast stab; interior hits skip exact test
-    val candUdf = udf { (cellOrd: Long) => bIndex.value.candidates(cellOrd) }
-    val refineUdf = udf { (lab: Int, lat: Double, lng: Double) =>
-      bRegions.value(lab).contains(V3.fromLatLngDegrees(lat, lng))
+    // single stab-and-refine kernel per row: emits only the matching
+    // labels (interior covering cells skip the exact test). One UDF call,
+    // one small int-array allocation on hit, zero on miss — the hot path
+    // is allocation-free so per-core throughput holds at high parallelism.
+    val matchUdf = udf { (cellOrd: Long, lat: Double, lng: Double) =>
+      val idx = bIndex.value
+      val regs = bRegions.value
+      var out: scala.collection.mutable.ArrayBuffer[Int] = null
+      var p: V3 = null
+      idx.visit(cellOrd) { (lab, interior, _) =>
+        val hit = interior || {
+          if (p == null) p = V3.fromLatLngDegrees(lat, lng)
+          // regs is small (broadcast dimension): linear label lookup is a
+          // cache-friendly scan; label values are arbitrary ints
+          var ri = 0; var found = false; var done = false
+          while (ri < regs.length && !done) {
+            if (regs(ri)._1 == lab) { found = regs(ri)._2.contains(p); done = true }
+            ri += 1
+          }
+          found
+        }
+        if (hit) {
+          if (out == null) out = new scala.collection.mutable.ArrayBuffer[Int](4)
+          if (!out.contains(lab)) out += lab
+        }
+      }
+      if (out == null) Array.emptyIntArray else out.toArray
     }
+    // no size()>0 pre-filter: explode of an empty array emits no rows, and
+    // a filter would be pushed into the scan and re-evaluate the UDF twice
     docs
-      .withColumn("_cand", candUdf(col("cell_ord")))
-      .where(size(col("_cand")) > 0)
-      .withColumn("_c", explode(col("_cand"))).drop("_cand")
-      .withColumn("qid", col("_c._1"))
-      .where(col("_c._2") || refineUdf(col("qid"), col(latCol), col(lngCol)))
-      .drop("_c")
+      .withColumn("qid", explode(matchUdf(col("cell_ord"), col(latCol), col(lngCol))))
   }
 
   // =======================================================================

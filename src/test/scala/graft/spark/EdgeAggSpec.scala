@@ -1,0 +1,115 @@
+package graft.spark
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.core._
+import graft.operators._
+import graft.sources.DocSource
+
+class EdgeAggSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  lazy val docs = S2Joins.withCellId(
+    DocSource.docs(spark, 3000L), col("lat"), col("lng")).cache()
+
+  test("edge distance kernel: endpoint vs interior cases, symmetry, triangle sanity") {
+    val a = V3.fromLatLngDegrees(0, 0)
+    val b = V3.fromLatLngDegrees(0, 10)
+    // point "above" the middle of the edge: interior case
+    val m = V3.fromLatLngDegrees(5, 5)
+    val dm = S2EdgeDistances.distance2(m, a, b)
+    val expectInterior = S1ChordAngle.fromRadians(math.toRadians(5))
+    assert(math.abs(S1ChordAngle.toRadians(dm) - math.toRadians(5)) < 1e-9)
+    // point beyond endpoint a: vertex case = distance to a
+    val va = V3.fromLatLngDegrees(0, -7)
+    assert(S2EdgeDistances.distance2(va, a, b) == (va - a).norm2)
+    // symmetry
+    assert(S2EdgeDistances.distance2(m, a, b) == S2EdgeDistances.distance2(m, b, a))
+    // point on the edge: ~0
+    val on = V3.fromLatLngDegrees(0, 3)
+    assert(S2EdgeDistances.distance2(on, a, b) < 1e-25)
+    // project + interpolate round trip
+    val proj = S2EdgeDistances.project(m, a, b)
+    assert(math.abs((m - proj).norm2 - dm) < 1e-15)
+    val mid = S2EdgeDistances.interpolate(a, b, 0.5)
+    assert(math.abs(V3.lngDegrees(mid) - 5.0) < 1e-9)
+    assert(math.abs(mid.norm - 1.0) < 1e-12)
+  }
+
+  test("closestShapesJoin matches brute-force edge distances; polygon interior is 0") {
+    val shapes = Seq(
+      EdgeQueries.Shape(1, Array(
+        V3.fromLatLngDegrees(0, 0), V3.fromLatLngDegrees(0, 30),
+        V3.fromLatLngDegrees(20, 30)), closed = false),        // polyline
+      EdgeQueries.Shape(2, S2TextFormat.parsePoints("10:-50, 10:-20, 35:-20, 35:-50"), closed = true), // polygon
+      EdgeQueries.Shape(3, Array(
+        V3.fromLatLngDegrees(-60, 100), V3.fromLatLngDegrees(-60, 140)), closed = false))
+    val got = EdgeQueries.closestShapesJoin(docs, shapes, k = 2)
+      .select("doc_id", "shape_id", "dist2", "rank").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getDouble(2), r.getInt(3)))
+    val all = docs.select("doc_id", "lat", "lng").collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+    val wanted = all.flatMap { case (id, lat, lng) =>
+      val p = V3.fromLatLngDegrees(lat, lng)
+      shapes.map(s => (id, s.id, s.distance2(p)))
+        .sortBy { case (_, sid, d) => (d, sid) }
+        .take(2).zipWithIndex.map { case ((i, sid, d), r) => (i, sid, d, r + 1) }
+    }.toSet
+    assert(got.toSet == wanted)
+    // any doc inside polygon 2 reports dist2 == 0
+    val poly = new S2Polygon(Array(S2Loop(
+      S2TextFormat.parsePoints("10:-50, 10:-20, 35:-20, 35:-50"))))
+    val inside = all.filter { case (_, lat, lng) =>
+      poly.contains(V3.fromLatLngDegrees(lat, lng)) }
+    assert(inside.nonEmpty)
+    val gotMap = got.groupBy(t => (t._1, t._2)).view.mapValues(_.head._3)
+    inside.foreach { case (id, _, _) => assert(gotMap((id, 2)) == 0.0) }
+  }
+
+  test("cell union aggregator merges group coverings; bound and centroid aggs are sane") {
+    import org.apache.spark.sql.functions._
+    // per-cluster covering union at level 8
+    val withCov = docs.withColumn("cells",
+      array(graft.functions.S2.parent(col("cell_id"), 8)))
+    val grouped = withCov
+      .groupBy((col("lat") > 0).as("north"))
+      .agg(Aggregators.cellUnionColumn(col("cells")).as("union_cells"),
+        Aggregators.rectBoundColumn(col("lat"), col("lng")).as("bound"),
+        Aggregators.centroidColumn(col("lat"), col("lng")).as("centroid"),
+        count(lit(1)).as("n"))
+      .collect()
+    assert(grouped.length == 2)
+    grouped.foreach { r =>
+      val cells = r.getSeq[Long](1).toArray
+      // normalized: sorted by unsigned order, no contained duplicates
+      val ords = cells.map(S2CellId.orderKey)
+      assert(ords.sameElements(ords.sorted))
+      for (i <- 1 until cells.length)
+        assert(!S2CellId.contains(cells(i - 1), cells(i)))
+      // every doc's level-8 cell must be contained in the group union
+      val north = r.getBoolean(0)
+      val members = docs.where((col("lat") > 0) === north)
+        .select(graft.functions.S2.parent(col("cell_id"), 8)).collect()
+        .map(_.getLong(0))
+      members.foreach(c => assert(S2CellUnion.containsCellId(cells, c)))
+      // bound contains all members
+      val b = r.getStruct(2)
+      val (latLo, lngLo, latHi, lngHi) = (b.getDouble(0), b.getDouble(1),
+        b.getDouble(2), b.getDouble(3))
+      val pts = docs.where((col("lat") > 0) === north)
+        .select("lat", "lng").collect()
+      pts.foreach { p =>
+        assert(p.getDouble(0) >= latLo - 1e-9 && p.getDouble(0) <= latHi + 1e-9)
+      }
+      // centroid direction roughly matches hemisphere
+      val c = r.getStruct(3)
+      if (north) assert(c.getDouble(2) > 0) else assert(c.getDouble(2) < 0)
+      assert(r.getLong(4) == pts.length)
+    }
+  }
+}

@@ -53,6 +53,19 @@ class PipelineOpsSpec extends AnyFunSuite {
       s"missing=${(planted ++ exactPairs) -- found}")
   }
 
+  test("nearDupClusters groups planted duplicates under the min id") {
+    val labels = Dedup.nearDupClusters(withDups, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // every planted exact dup (id+100000) must resolve to cluster rep = id
+    docs.where(col("doc_id") % 7 === 0).select("doc_id").collect()
+      .map(_.getLong(0)).foreach { id =>
+        assert(labels.get(id + 100000).contains(labels.getOrElse(id, id)),
+          s"dup of $id not clustered")
+      }
+    // reps are minimal: no label greater than its member
+    labels.foreach { case (id, rep) => assert(rep < id) }
+  }
+
   test("simhash pairs include all planted exact duplicates (hamming 0)") {
     val found = Dedup.simHashPairs(withDups, "doc_id", "text", maxHamming = 3)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
