@@ -154,6 +154,34 @@ object S2 {
     exactAreaUdf(id)
   }
 
+  /** Earth mean radius (reference s2earth.h). */
+  val EarthRadiusMeters: Double = 6371010.0
+
+  /** Level whose cells are at most `meters` wide (kMinWidth
+    * GetLevelForMaxValue — reference s2metrics.h:118). */
+  def levelForMaxMeters(meters: Double): Int =
+    S2Metrics.MinWidth.levelForMaxValue(meters / EarthRadiusMeters)
+
+  private val levelForMetersUdf = udf { (m: Double) => levelForMaxMeters(m) }
+  def levelForMeters(meters: Column): Column = levelForMetersUdf(meters)
+
+  /** Greedy maximum-tile range tiling (reference S2CellId::maximum_tile,
+    * s2cell_id.cc:168-191): minimal multi-level cell list exactly covering
+    * the leaf range [rangeMin(begin), rangeMin(limit)) — `limit` is a cell
+    * id whose rangeMin is the exclusive boundary (pass next(c) to include
+    * cell c). Drives range-partitioner boundaries with cell-aligned splits. */
+  def rangeTiling(begin: Long, limit: Long): Array[Long] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var pos = begin
+    while (S2CellId.uLt(S2CellId.rangeMin(pos), S2CellId.rangeMin(limit))) {
+      val tile = S2CellId.maximumTile(pos, limit)
+      out += tile
+      pos = S2CellId.next(tile)
+      if (out.size > 1000000) throw new IllegalStateException("tiling too fine")
+    }
+    out.toArray
+  }
+
   /** Register SQL-callable names for the native expressions. */
   def registerAll(spark: SparkSession): Unit = {
     import org.apache.spark.sql.catalyst.expressions.Cast

@@ -1,0 +1,71 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.core._
+
+/** Region×region joins and measures: both sides carry *regions* (as
+  * normalized cell-union arrays), intersection decided by the
+  * S2RegionTermIndexer scheme — two regions share ≥1 term iff their
+  * coverings intersect (/root/reference/src/s2/s2region_term_indexer.cc:27-72) —
+  * then refined with the exact sorted-merge cell-union intersection
+  * (/root/reference/src/s2/s2cell_union.cc:355-439). */
+object RegionJoins {
+
+  private val indexer = new S2TermIndexer()
+
+  val indexTermsUdf = udf { (cells: Array[Long]) =>
+    indexer.indexTermsForCovering(cells) }
+  val queryTermsUdf = udf { (cells: Array[Long]) =>
+    indexer.queryTermsForCovering(cells) }
+  val unionIntersectsUdf = udf { (a: Array[Long], b: Array[Long]) =>
+    S2CellUnion.intersectsUnion(a, b) }
+  val unionContainsUdf = udf { (a: Array[Long], b: Array[Long]) =>
+    S2CellUnion.containsUnion(a, b) }
+
+  /** Inner join of two region tables on covering intersection. Both sides
+    * arbitrary size; one term equi-join shuffle + exact cell-union refine.
+    * Left columns (leftId, leftCells) vs right (rightId, rightCells). */
+  def intersectsJoin(left: DataFrame, leftId: String, leftCells: String,
+                     right: DataFrame, rightId: String, rightCells: String): DataFrame = {
+    val l = left.select(col(leftId).as("lid"), col(leftCells).as("lcells"))
+      .withColumn("term", explode(indexTermsUdf(col("lcells"))))
+    val r = right.select(col(rightId).as("rid"), col(rightCells).as("rcells"))
+      .withColumn("term", explode(queryTermsUdf(col("rcells"))))
+    l.join(r, "term").drop("term")
+      .dropDuplicates("lid", "rid")
+      .where(unionIntersectsUdf(col("lcells"), col("rcells")))
+      .select("lid", "rid")
+  }
+
+  // ---- cell-union set algebra as columns (SURVEY §2.9) ----
+  val unionUdf = udf { (a: Array[Long], b: Array[Long]) => S2CellUnion.union(a, b) }
+  val intersectionUdf = udf { (a: Array[Long], b: Array[Long]) =>
+    S2CellUnion.intersection(a, b) }
+  val differenceUdf = udf { (a: Array[Long], b: Array[Long]) =>
+    S2CellUnion.difference(a, b) }
+  val leafCountUdf = udf { (a: Array[Long]) => S2CellUnion.leafCellsCovered(a) }
+  val exactAreaUdf = udf { (a: Array[Long]) => S2CellUnion.exactArea(a) }
+
+  def cellUnion(a: Column, b: Column): Column = unionUdf(a, b)
+  def cellIntersection(a: Column, b: Column): Column = intersectionUdf(a, b)
+  def cellDifference(a: Column, b: Column): Column = differenceUdf(a, b)
+  def leafCellsCovered(a: Column): Column = leafCountUdf(a)
+  def unionExactArea(a: Column): Column = exactAreaUdf(a)
+
+  /** Directed Hausdorff distance (squared chord) from chain A to chain B:
+    * max over A's vertices of the min distance to B
+    * (S2HausdorffDistanceQuery semantics over vertex-sampled chains,
+    * /root/reference/src/s2/s2hausdorff_distance_query.h:38-61). */
+  val directedHausdorffUdf = udf {
+    (aLat: Seq[Double], aLng: Seq[Double], bLat: Seq[Double], bLng: Seq[Double]) =>
+      val bv = bLat.zip(bLng).map { case (la, ln) => V3.fromLatLngDegrees(la, ln) }.toArray
+      var worst = 0.0
+      aLat.zip(aLng).foreach { case (la, ln) =>
+        val p = V3.fromLatLngDegrees(la, ln)
+        val d = S2EdgeDistances.distanceToChain2(p, bv, closed = false)
+        if (d > worst) worst = d
+      }
+      worst
+  }
+}

@@ -1,0 +1,85 @@
+package graft.spark
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.core._
+import graft.operators._
+import graft.sources.DocSource
+
+/** Physical-plan audits: the properties that make these operators hold at
+  * 100 TB are asserted on the executed plan, not just observed manually —
+  * column pruning reaches the scan, broadcast joins stay exchange-free,
+  * aggregations keep partial (map-side) phases, and native expressions
+  * stay inside WholeStageCodegen. */
+class PlanAuditSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  lazy val docsPath: String = {
+    val p = java.nio.file.Files.createTempDirectory("plan-audit").toString + "/docs"
+    DocSource.docs(spark, 2000L).write.mode("overwrite").parquet(p)
+    p
+  }
+
+  def regions: Seq[(Int, S2Region)] = Seq(
+    1 -> S2TextFormat.parsePolygon("0:0, 0:35, 30:35, 30:0"),
+    2 -> S2Cap.fromCenterAngle(V3.fromLatLngDegrees(48, 2), 0.08))
+
+  test("covering+PIP join: scan prunes to lat/lng, zero exchanges, codegen on") {
+    val docs = S2Joins.withCellId(spark.read.parquet(docsPath), col("lat"), col("lng"))
+    val joined = S2Joins.broadcastContainsJoin(docs, regions)
+      .groupBy("qid").count()
+    joined.collect() // materialize so AQE finalizes + codegen markers appear
+    // AQE prints Final + Initial sections; audit the final plan only
+    val plan = joined.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    val scanLine = plan.split("\n").find(_.contains("ReadSchema")).get
+    assert(scanLine.contains("ReadSchema: struct<lat:double,lng:double>"),
+      s"scan did not prune to lat/lng: $scanLine")
+    // join itself adds no exchange; the single exchange is the final agg
+    assert("Exchange".r.findAllIn(plan).length == 1, plan)
+    assert(plan.contains("WholeStageCodegen") || plan.contains("*(1)")) // *(n) = codegen stage markers
+    // partial aggregation before the exchange
+    assert(plan.contains("HashAggregate"), plan)
+  }
+
+  test("pre-join operators add no shuffle at all") {
+    val docs = S2Joins.withCellId(spark.read.parquet(docsPath), col("lat"), col("lng"))
+    val joined = S2Joins.broadcastContainsJoin(docs, regions)
+    val tiled = S2Joins.tileAssign(joined, Seq((0, Array(S2CellId.fromFace(0)))))
+    val plan = tiled.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+
+  test("density rollup keeps map-side partial aggregation") {
+    val docs = S2Joins.withCellId(spark.read.parquet(docsPath), col("lat"), col("lng"))
+    val plan = Density.cellDensity(docs, 6).queryExecution.executedPlan.toString
+    // two HashAggregates (partial + final) around one exchange
+    assert("HashAggregate".r.findAllIn(plan).length >= 2, plan)
+    assert("Exchange".r.findAllIn(plan).length == 1, plan)
+  }
+
+  test("term join plans as an equi-join (hash or sort-merge, AQE-eligible)") {
+    import spark.implicits._
+    val docs = S2Joins.withCellId(spark.read.parquet(docsPath), col("lat"), col("lng"))
+    val polys = Seq((1, "0:0, 0:35, 30:35, 30:0")).toDF("qid", "poly")
+    val joined = S2Joins.termPolygonJoin(docs, polys)
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("Join") || plan.contains("join"), plan)
+    // equi-join on term: planner chose hash/sort-merge/broadcast, not BNLJ
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("exact dedup groupBy hashes small keys, not text") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val plan = Dedup.exactDuplicates(docs, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    // shuffle key is the md5 hash column, 2-phase agg
+    assert("HashAggregate".r.findAllIn(plan).length >= 2, plan)
+    assert(plan.contains("md5"), plan)
+  }
+}

@@ -1,0 +1,96 @@
+package graft.spark
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.core._
+import graft.operators._
+
+class RegionJoinsSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  val coverer = new S2RegionCoverer(16)
+
+  def capUnion(lat: Double, lng: Double, r: Double): Array[Long] =
+    coverer.getCovering(S2Cap.fromCenterAngle(V3.fromLatLngDegrees(lat, lng), r))
+
+  test("region intersectsJoin matches pairwise cell-union intersection") {
+    import spark.implicits._
+    val lefts = (0 until 30).map { i =>
+      (i, capUnion(i * 6.0 - 85, i * 11.0 - 170, 0.05)) }
+    val rights = (0 until 25).map { j =>
+      (j, capUnion(j * 7.0 - 80, j * 13.0 - 160, 0.07)) }
+    val got = RegionJoins.intersectsJoin(
+      lefts.toDF("id", "cells"), "id", "cells",
+      rights.toDF("id", "cells"), "id", "cells")
+      .collect().map(r => (r.getInt(0), r.getInt(1))).toSet
+    val want = (for {
+      (li, lc) <- lefts
+      (rj, rc) <- rights
+      if S2CellUnion.intersectsUnion(lc, rc)
+    } yield (li, rj)).toSet
+    assert(got == want)
+    assert(want.nonEmpty)
+  }
+
+  test("cell-union set algebra columns match kernels") {
+    import spark.implicits._
+    val a = capUnion(10, 20, 0.3)
+    val b = capUnion(12, 22, 0.3)
+    val row = Seq((a, b)).toDF("a", "b")
+      .select(
+        RegionJoins.cellUnion($"a", $"b").as("u"),
+        RegionJoins.cellIntersection($"a", $"b").as("i"),
+        RegionJoins.cellDifference($"a", $"b").as("d"),
+        RegionJoins.leafCellsCovered($"a").as("leaves"),
+        RegionJoins.unionExactArea($"a").as("area"))
+      .head()
+    assert(row.getSeq[Long](0).toArray.sameElements(S2CellUnion.union(a, b)))
+    assert(row.getSeq[Long](1).toArray.sameElements(S2CellUnion.intersection(a, b)))
+    assert(row.getSeq[Long](2).toArray.sameElements(S2CellUnion.difference(a, b)))
+    assert(row.getLong(3) == S2CellUnion.leafCellsCovered(a))
+    assert(math.abs(row.getDouble(4) - S2CellUnion.exactArea(a)) < 1e-15)
+    // algebra laws on this instance: |A| = |A∩B| + |A\B| in leaf cells
+    assert(S2CellUnion.leafCellsCovered(a) ==
+      S2CellUnion.leafCellsCovered(S2CellUnion.intersection(a, b)) +
+      S2CellUnion.leafCellsCovered(S2CellUnion.difference(a, b)))
+  }
+
+  test("directed hausdorff: zero to itself, positive to distant chain, asymmetric") {
+    import spark.implicits._
+    val aLat = Seq(0.0, 5.0, 10.0); val aLng = Seq(0.0, 5.0, 10.0)
+    val bLat = Seq(0.0, 5.0, 10.0, 40.0); val bLng = Seq(0.0, 5.0, 10.0, 40.0)
+    val df = Seq((aLat, aLng, bLat, bLng)).toDF("alat", "alng", "blat", "blng")
+    val dAB = df.select(RegionJoins.directedHausdorffUdf(
+      $"alat", $"alng", $"blat", $"blng")).head().getDouble(0)
+    val dBA = df.select(RegionJoins.directedHausdorffUdf(
+      $"blat", $"blng", $"alat", $"alng")).head().getDouble(0)
+    assert(dAB < 1e-20)   // A's vertices all on B's chain
+    assert(dBA > 0.1)     // B's far vertex (40,40) is far from A
+  }
+
+  test("levelForMeters and rangeTiling behave like the reference metrics") {
+    assert(S2.EarthRadiusMeters == 6371010.0)
+    val l1km = graft.functions.S2.levelForMaxMeters(1000)
+    // reference kMinWidth table: level 13 cells are ~1.2km wide min
+    assert(l1km >= 12 && l1km <= 15)
+    // range tiling of one face: exactly that face cell
+    val f2 = S2CellId.fromFace(2)
+    val tiles = graft.functions.S2.rangeTiling(
+      S2CellId.rangeMin(f2), S2CellId.fromFace(3)) // limit cell = boundary
+    assert(S2CellUnion.normalize(tiles).sameElements(Array(f2)))
+    // tiling covers the range exactly: sum of leaves matches
+    val a = S2CellId.fromLatLngDegrees(10, 20)
+    val bCell = S2CellId.fromLatLngDegrees(10.4, 20.4)
+    val (lo, hi) = if (S2CellId.uLt(a, bCell)) (a, bCell) else (bCell, a)
+    val t2 = graft.functions.S2.rangeTiling(lo, hi)
+    val leaves = t2.map(c => S2CellId.rangeMax(c) / 2 - S2CellId.rangeMin(c) / 2 + 1).sum
+    assert(leaves == (hi - lo) / 2) // [lo, hi): leaf ids step by 2
+  }
+
+  object S2 { val EarthRadiusMeters = graft.functions.S2.EarthRadiusMeters }
+}
