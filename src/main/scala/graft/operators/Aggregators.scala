@@ -61,6 +61,41 @@ object Aggregators {
     org.apache.spark.sql.functions.udaf(agg).apply(latDeg, lngDeg)
   }
 
+  /** Spherical convex hull per group (S2ConvexHullQuery semantics,
+    * reference s2convex_hull_query.cc): buffer = (isFull, current hull
+    * vertices) — merging hulls = hull of vertex union (associative); a
+    * group whose bound spans a hemisphere collapses to the explicit full
+    * sentinel (vertex lists cannot represent the full loop losslessly).
+    * Result: (isFull, CCW loop vertices as (x,y,z)). */
+  def convexHullColumn(latDeg: Column, lngDeg: Column): Column = {
+    type Buf = (Boolean, Seq[(Double, Double, Double)])
+    def hullOf(pts: Seq[(Double, Double, Double)]): Buf = {
+      val loop = S2ConvexHull.hull(pts.map { case (x, y, z) => V3(x, y, z) })
+      if (loop.isFull) (true, Seq.empty)
+      else (false, loop.vertices.toSeq.map(v => (v.x, v.y, v.z)))
+    }
+    val agg = new Aggregator[(Double, Double), Buf, Buf] {
+      def zero: Buf = (false, Seq.empty)
+      def reduce(b: Buf, p: (Double, Double)): Buf = {
+        if (b._1) b
+        else {
+          val v = V3.fromLatLngDegrees(p._1, p._2)
+          val appended = b._2 :+ ((v.x, v.y, v.z))
+          if (appended.size > 64) hullOf(appended) else (false, appended)
+        }
+      }
+      def merge(a: Buf, b: Buf): Buf =
+        if (a._1 || b._1) (true, Seq.empty) else hullOf(a._2 ++ b._2)
+      def finish(b: Buf): Buf =
+        if (b._1 || b._2.isEmpty) b else hullOf(b._2)
+      def bufferEncoder: Encoder[Buf] =
+        ExpressionEncoder[(Boolean, Seq[(Double, Double, Double)])]()
+      def outputEncoder: Encoder[Buf] =
+        ExpressionEncoder[(Boolean, Seq[(Double, Double, Double)])]()
+    }
+    org.apache.spark.sql.functions.udaf(agg).apply(latDeg, lngDeg)
+  }
+
   /** True centroid (unnormalized vector sum — reference TrueCentroid
     * convention: scale-free, add across groups; s2centroids.cc). */
   def centroidColumn(latDeg: Column, lngDeg: Column): Column = {

@@ -112,4 +112,63 @@ class EdgeAggSpec extends AnyFunSuite {
       assert(r.getLong(4) == pts.length)
     }
   }
+
+  test("convex hull aggregator: hull encloses members; hemisphere-wide group is full") {
+    // windowed docs: hulls are proper loops
+    val windowed = docs.where(col("lat").between(0, 40) && col("lng").between(0, 60))
+    val hulls = windowed
+      .groupBy((col("lng") > 30).as("east"))
+      .agg(Aggregators.convexHullColumn(col("lat"), col("lng")).as("hull"))
+      .collect()
+    assert(hulls.length == 2)
+    hulls.foreach { r =>
+      val h = r.getStruct(1)
+      assert(!h.getBoolean(0)) // not full
+      val vs = h.getSeq[org.apache.spark.sql.Row](1)
+        .map(v => V3(v.getDouble(0), v.getDouble(1), v.getDouble(2))).toArray
+      assert(vs.length >= 3)
+      val east = r.getBoolean(0)
+      val members = windowed.where((col("lng") > 30) === east)
+        .select("lat", "lng").collect()
+        .map(p => V3.fromLatLngDegrees(p.getDouble(0), p.getDouble(1)))
+      members.foreach { m =>
+        for (i <- vs.indices) {
+          val a = vs(i); val b = vs((i + 1) % vs.length)
+          assert(S2Predicates.sign(a, b, m) >= 0 || m == a || m == b)
+        }
+      }
+    }
+    // the whole skewed-global table spans a hemisphere: full sentinel
+    val full = docs.agg(
+      Aggregators.convexHullColumn(col("lat"), col("lng")).as("hull")).head()
+    assert(full.getStruct(0).getBoolean(0))
+  }
+
+  test("S2Extensions makes native expressions SQL-callable") {
+    // getOrCreate reuses the suite's shared session (built WITHOUT the
+    // extension); clear it so a genuinely new session applies injections,
+    // then restore for later tests.
+    val prior = SparkSession.getDefaultSession
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val s2 = SparkSession.builder()
+      .master("local[2]")
+      .appName("ext-test")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new graft.S2Extensions())
+      .getOrCreate()
+    try {
+    val row = s2.sql(
+      """SELECT s2_token(s2_parent(s2_cellid(48.8566, 2.3522), 10)) AS tok,
+                s2_level(s2_cellid(0.0, 0.0)) AS lvl""").head()
+    assert(row.getString(0) ==
+      S2CellId.toToken(S2CellId.parent(S2CellId.fromLatLngDegrees(48.8566, 2.3522), 10)))
+    assert(row.getInt(1) == 30)
+    } finally {
+      prior.foreach { p =>
+        SparkSession.setDefaultSession(p)
+        SparkSession.setActiveSession(p)
+      }
+    }
+  }
 }
