@@ -1,0 +1,127 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import graft.core._
+
+/** Polyline analytics as columns over array<struct<lat,lng>> (degrees) or
+  * parallel lat/lng arrays: length, interpolation
+  * (S2ChainInterpolationQuery semantics), tolerance subsampling
+  * (S2Polyline::SubsampleVertices semantics) and exact dynamic-timewarp
+  * alignment cost (S2PolylineAlignment::GetExactVertexAlignmentCost,
+  * /root/reference/src/s2/s2polyline_alignment.cc:183-209: cell cost =
+  * Euclidean chord norm, min of diag/up/left predecessors). */
+object Polylines {
+
+  private def toV3(lat: Seq[Double], lng: Seq[Double]): Array[V3] =
+    lat.zip(lng).map { case (la, ln) => V3.fromLatLngDegrees(la, ln) }.toArray
+
+  /** Geodesic length in radians. */
+  val lengthUdf = udf { (lat: Seq[Double], lng: Seq[Double]) =>
+    val v = toV3(lat, lng)
+    var s = 0.0
+    var i = 1
+    while (i < v.length) { s += v(i - 1).angle(v(i)); i += 1 }
+    s
+  }
+
+  /** Point at `fraction` ∈ [0,1] of the chain's total length — the
+    * S2ChainInterpolationQuery AtFraction semantics. Returns (lat, lng)
+    * degrees. */
+  val atFractionUdf = udf { (lat: Seq[Double], lng: Seq[Double], fraction: Double) =>
+    val v = toV3(lat, lng)
+    if (v.isEmpty) null
+    else if (v.length == 1) (V3.latDegrees(v(0)), V3.lngDegrees(v(0)))
+    else {
+      val segLens = (1 until v.length).map(i => v(i - 1).angle(v(i)))
+      val total = segLens.sum
+      val want = math.max(0.0, math.min(1.0, fraction)) * total
+      var acc = 0.0
+      var i = 0
+      while (i < segLens.length && acc + segLens(i) < want) { acc += segLens(i); i += 1 }
+      val p =
+        if (i >= segLens.length) v.last
+        else {
+          val t = if (segLens(i) == 0) 0.0 else (want - acc) / segLens(i)
+          S2EdgeDistances.interpolate(v(i), v(i + 1), t)
+        }
+      (V3.latDegrees(p), V3.lngDegrees(p))
+    }
+  }
+
+  /** Tolerance subsample (reference S2Polyline::SubsampleVertices,
+    * s2polyline.cc: greedy forward scan — keep the longest prefix edge such
+    * that every skipped vertex stays within `toleranceRad`). Returns the
+    * kept vertex indices. */
+  val subsampleUdf = udf { (lat: Seq[Double], lng: Seq[Double], toleranceRad: Double) =>
+    val v = toV3(lat, lng)
+    if (v.length <= 2) v.indices.toArray
+    else {
+      val tol2 = S1ChordAngle.fromRadians(toleranceRad)
+      val keep = scala.collection.mutable.ArrayBuffer(0)
+      var start = 0
+      while (start < v.length - 1) {
+        var end = start + 1
+        var best = end
+        var ok = true
+        while (ok && end < v.length) {
+          // all intermediate vertices within tolerance of edge start→end?
+          var j = start + 1
+          var fits = true
+          while (fits && j < end) {
+            if (S2EdgeDistances.distance2(v(j), v(start), v(end)) > tol2) fits = false
+            j += 1
+          }
+          if (fits) { best = end; end += 1 } else ok = false
+        }
+        keep += best
+        start = best
+      }
+      keep.toArray
+    }
+  }
+
+  /** Exact DTW vertex-alignment cost between two chains (cell cost =
+    * chord norm; full O(n·m) table — the reference's exact path). */
+  val dtwCostUdf = udf {
+    (aLat: Seq[Double], aLng: Seq[Double], bLat: Seq[Double], bLng: Seq[Double]) =>
+      val a = toV3(aLat, aLng)
+      val b = toV3(bLat, bLng)
+      if (a.isEmpty || b.isEmpty) Double.NaN
+      else {
+        val cols = b.length
+        var prev: Array[Double] = null
+        var curr = new Array[Double](cols)
+        var row = 0
+        while (row < a.length) {
+          var col = 0
+          while (col < cols) {
+            val d = (a(row) - b(col)).norm
+            val dCost =
+              if (row == 0 && col == 0) 0.0
+              else if (row > 0 && col > 0) prevRow(prev, col - 1)
+              else Double.MaxValue
+            val uCost = if (row > 0) prevRow(prev, col) else Double.MaxValue
+            val lCost = if (col > 0) curr(col - 1) else Double.MaxValue
+            curr(col) = math.min(dCost, math.min(uCost, lCost)) + d
+            col += 1
+          }
+          val tmp = prev; prev = curr
+          curr = if (tmp == null) new Array[Double](cols) else tmp
+          row += 1
+        }
+        prev(cols - 1)
+      }
+  }
+
+  @inline private def prevRow(prev: Array[Double], col: Int): Double =
+    if (prev == null) Double.MaxValue else prev(col)
+
+  def length(lat: Column, lng: Column): Column = lengthUdf(lat, lng)
+  def atFraction(lat: Column, lng: Column, f: Column): Column =
+    atFractionUdf(lat, lng, f)
+  def subsampleIndices(lat: Column, lng: Column, tolRad: Column): Column =
+    subsampleUdf(lat, lng, tolRad)
+  def dtwCost(aLat: Column, aLng: Column, bLat: Column, bLng: Column): Column =
+    dtwCostUdf(aLat, aLng, bLat, bLng)
+}

@@ -1,0 +1,79 @@
+package graft.spark
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.core._
+import graft.operators.Polylines
+
+class PolylinesSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("length, interpolation, subsample, dtw over polyline columns") {
+    import spark.implicits._
+    // equator chain 0..40 deg in 10-deg steps, with a small zigzag vertex
+    val lat = Seq(0.0, 0.001, 0.0, 0.0, 0.0)
+    val lng = Seq(0.0, 10.0, 20.0, 30.0, 40.0)
+    val df = Seq((lat, lng)).toDF("lat", "lng")
+
+    val len = df.select(Polylines.length($"lat", $"lng")).head().getDouble(0)
+    assert(math.abs(len - math.toRadians(40)) < 1e-5)
+
+    val mid = df.select(Polylines.atFraction($"lat", $"lng", lit(0.5)))
+      .head().getStruct(0)
+    assert(math.abs(mid.getDouble(1) - 20.0) < 0.01) // halfway ~ lng 20
+
+    // subsample with generous tolerance drops the zigzag + collinear verts
+    val kept = df.select(Polylines.subsampleIndices($"lat", $"lng",
+      lit(math.toRadians(0.01)))).head().getSeq[Int](0)
+    assert(kept.head == 0 && kept.last == 4)
+    assert(kept.length < 5)
+    // tight tolerance keeps the zigzag vertex but still drops the exactly
+    // collinear vertex 3 (it lies on edge 2->4)
+    val keptTight = df.select(Polylines.subsampleIndices($"lat", $"lng",
+      lit(1e-9))).head().getSeq[Int](0)
+    assert(keptTight == Seq(0, 1, 2, 4))
+
+    // dtw: identical chains align at cost ~= sum of zero distances
+    val d0 = df.select(Polylines.dtwCost($"lat", $"lng", $"lat", $"lng"))
+      .head().getDouble(0)
+    assert(d0 == 0.0)
+    // shifting the second chain increases cost monotonically with offset
+    val shifted1 = Seq((lat, lng, lat, lng.map(_ + 1.0))).toDF("al", "an", "bl", "bn")
+    val shifted5 = Seq((lat, lng, lat, lng.map(_ + 5.0))).toDF("al", "an", "bl", "bn")
+    val c1 = shifted1.select(Polylines.dtwCost($"al", $"an", $"bl", $"bn")).head().getDouble(0)
+    val c5 = shifted5.select(Polylines.dtwCost($"al", $"an", $"bl", $"bn")).head().getDouble(0)
+    assert(c1 > 0 && c5 > c1)
+    // dtw vs scala reference on small random chains
+    def ref(a: Array[V3], b: Array[V3]): Double = {
+      val n = a.length; val m = b.length
+      val t = Array.fill(n, m)(0.0)
+      for (i <- 0 until n; j <- 0 until m) {
+        val d = (a(i) - b(j)).norm
+        val pd = if (i > 0 && j > 0) t(i-1)(j-1)
+                 else if (i == 0 && j == 0) 0.0 else Double.MaxValue
+        val pu = if (i > 0) t(i-1)(j) else Double.MaxValue
+        val pl = if (j > 0) t(i)(j-1) else Double.MaxValue
+        t(i)(j) = math.min(pd, math.min(pu, pl)) + d
+      }
+      t(n-1)(m-1)
+    }
+    val rnd = new scala.util.Random(7)
+    for (_ <- 0 until 10) {
+      val al = Seq.fill(6)(rnd.nextDouble() * 20)
+      val an = Seq.fill(6)(rnd.nextDouble() * 20)
+      val bl = Seq.fill(9)(rnd.nextDouble() * 20)
+      val bn = Seq.fill(9)(rnd.nextDouble() * 20)
+      val got = Seq((al, an, bl, bn)).toDF("al", "an", "bl", "bn")
+        .select(Polylines.dtwCost($"al", $"an", $"bl", $"bn")).head().getDouble(0)
+      val want = ref(
+        al.zip(an).map { case (x, y) => V3.fromLatLngDegrees(x, y) }.toArray,
+        bl.zip(bn).map { case (x, y) => V3.fromLatLngDegrees(x, y) }.toArray)
+      assert(got == want)
+    }
+  }
+}

@@ -1,0 +1,51 @@
+package graft.spark
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.core._
+import graft.operators.S2Joins
+import graft.runtime.TableIO
+import graft.sources.DocSource
+
+class TableIOSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("spatial table: write, manifest pruning, region scan equals full filter") {
+    val docs = S2Joins.withCellId(DocSource.docs(spark, 4000L),
+      col("lat"), col("lng"))
+    val path = java.nio.file.Files.createTempDirectory("graft-tbl").toString + "/docs"
+    TableIO.writeSpatial(docs, path, partLevel = 3)
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(path, "_graft_manifest.json")))
+
+    val cap = S2Cap.fromCenterAngle(V3.fromLatLngDegrees(20, 30), 0.25)
+    val keep = TableIO.partitionsForRegion(path, cap)
+    val allParts = TableIO.readSpatial(spark, path)
+      .select("cell_part").distinct().count()
+    assert(keep.nonEmpty && keep.length < allParts,
+      s"pruning kept ${keep.length} of $allParts")
+
+    val scanned = TableIO.scanRegion(spark, path, cap)
+    val expected = docs.collect().count { r =>
+      cap.contains(V3.fromLatLngDegrees(
+        r.getAs[Double]("lat"), r.getAs[Double]("lng")))
+    }
+    assert(scanned.count() == expected)
+    assert(expected > 0)
+
+    // partition pruning reaches the scan: the physical plan carries the
+    // cell_part partition filter (directories skipped before file listing)
+    val plan = scanned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("cell_part"), plan)
+
+    // round-trip preserves the span fingerprint invariant
+    val viol = TableIO.readSpatial(spark, path)
+      .where(DocSource.spansFingerprint(col("spans")) =!= col("spans_fp"))
+      .count()
+    assert(viol == 0)
+  }
+}
