@@ -67,7 +67,7 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       math.max(8, Runtime.getRuntime.availableProcessors()).toString).toInt
-    val benchDocs = sys.env.getOrElse("SPARK_GRAFT_BENCH_DOCS", "32000000").toLong
+    val benchDocs = sys.env.getOrElse("SPARK_GRAFT_BENCH_DOCS", "192000000").toLong
 
     // ---- phase 1: headline queries at full parallelism ----
     var spark = session(cpus)
@@ -89,26 +89,56 @@ object Bench {
         val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
       }.min
 
+    // pure-CPU thread-scaling ceiling measured in the same interval: this
+    // VM's vCPUs show steal/turbo variance, so raw 4x is unattainable by
+    // any workload; efficiency is also reported normalized to the ceiling.
+    def cpuRate(threads: Int): Double = {
+      val per = 400000000L
+      def work(nn: Long): Long = {
+        var z = 0x9E3779B97F4A7C15L; var acc = 0L; var i = 0L
+        while (i < nn) {
+          z += 0x9E3779B97F4A7C15L
+          var m = z
+          m = (m ^ (m >>> 30)) * 0xBF58476D1CE4E5B9L
+          m = (m ^ (m >>> 27)) * 0x94D049BB133111EBL
+          acc += m ^ (m >>> 31); i += 1
+        }
+        acc
+      }
+      val ts = Array.fill(threads)(new Thread(() => { work(per); () }))
+      val t0 = System.nanoTime()
+      ts.foreach(_.start()); ts.foreach(_.join())
+      threads * per / ((System.nanoTime() - t0) / 1e9)
+    }
+
     pipeline(spark, docsPath) // warmup
     var matched = 0L
+    val ceilHiA = cpuRate(cpus)
     val tHi = best(2) { matched = pipeline(spark, docsPath) }
+    val ceilHiB = cpuRate(cpus)
     spark.stop()
 
     val lowCores = math.max(1, cpus / 4)
     spark = session(lowCores)
     pipeline(spark, docsPath) // re-warm new session
+    val ceilLoA = cpuRate(lowCores)
     val tLo = best(2) { pipeline(spark, docsPath) }
+    val ceilLoB = cpuRate(lowCores)
     spark.stop()
 
     val speedup = tLo / tHi
-    val efficiency = speedup / (cpus.toDouble / lowCores)
+    val ratio = cpus.toDouble / lowCores
+    val efficiency = speedup / ratio
+    val hwSpeedup = ((ceilHiA + ceilHiB) / 2) / ((ceilLoA + ceilLoB) / 2)
+    val normEfficiency = if (hwSpeedup > 0) speedup / hwSpeedup else efficiency
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val pipelineJson =
       s"""{"docs":$benchDocs,"matched":$matched,"cores_hi":$cpus,"cores_lo":$lowCores,""" +
       s""""sec_hi":$tHi,"sec_lo":$tLo,"docs_per_sec_hi":${benchDocs / tHi},""" +
-      s""""docs_per_sec_lo":${benchDocs / tLo},"speedup":$speedup,"scaling_efficiency":$efficiency}"""
+      s""""docs_per_sec_lo":${benchDocs / tLo},"speedup":$speedup,"scaling_efficiency":$efficiency,""" +
+      s""""hw_ceiling_speedup":$hwSpeedup,"scaling_efficiency_vs_hw":$normEfficiency}"""
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""pipeline":$pipelineJson,"sf":"$sfDir"}""")
   }
