@@ -282,9 +282,26 @@ object SparkEntry {
     }),
 
     "q_quality_hist" -> ((s, dir) => {
+      // joint histogram: quality bucket x alpha-ratio bucket (the latter
+      // actually varies on this corpus, so the oracle compares >1 row)
       val docs = s.read.parquet(s"$dir/documents.parquet")
-      docs.select(floor(TextAnalysis.qualityScore(col("text")) * 20).as("bucket"))
-        .groupBy("bucket").agg(count(lit(1)).as("cnt"))
+      val len = length(col("text")).cast("double")
+      val alpha = length(regexp_replace(col("text"), "[^\\p{L}]", "")).cast("double")
+      val alphaRatio = when(len > 0, alpha / len).otherwise(lit(0.0))
+      docs.select(
+        floor(TextAnalysis.qualityScore(col("text")) * 20).as("bucket"),
+        floor(alphaRatio * 50).as("abucket"))
+        .groupBy("bucket", "abucket").agg(count(lit(1)).as("cnt"))
+    }),
+
+    "q_s2_density_shards" -> ((s, dir) => { // rows-only (data-dependent cuts)
+      val docs = docsGeo(s, dir)
+      val bounds = Density.equalWeightBoundaries(docs, 4, 8)
+      val b = s.sparkContext.broadcast(bounds)
+      val sid = udf { (ord: Long) => Density.shardId(b.value)(ord) }
+      docs.withColumn("shard", sid(col("cell_ord")))
+        .groupBy("shard")
+        .agg(count(lit(1)).as("cnt"), sum("doc_id").as("sum_id"))
     }),
 
     "q_langid" -> ((s, dir) => { // rows-only (kernel udf)
@@ -498,14 +515,16 @@ object SparkEntry {
                  (len - spaces) / (CAST(spaces AS DOUBLE) + 1.0) AS awl
           FROM q),
         f AS (
-          SELECT (CASE WHEN len < 20 THEN len/20.0 WHEN len > 20000 THEN 0.5 ELSE 1.0 END)
+          SELECT alpha_ratio,
+                 (CASE WHEN len < 20 THEN len/20.0 WHEN len > 20000 THEN 0.5 ELSE 1.0 END)
                * (CASE WHEN awl >= 3 AND awl <= 12 THEN 1.0 ELSE 0.5 END)
                * greatest(0.0, 1.0 - punct_ratio*4.0)
                * least(1.0, alpha_ratio*1.4) AS raw
           FROM s)
         SELECT CAST(floor(round(greatest(0.0, least(1.0, raw)), 6) * 20) AS BIGINT) AS bucket,
+               CAST(floor(alpha_ratio * 50) AS BIGINT) AS abucket,
                count(*) AS cnt
-        FROM f GROUP BY bucket""",
+        FROM f GROUP BY bucket, abucket""",
 
       "q_ann_topk" -> """
         SELECT qid, id, rank FROM (
