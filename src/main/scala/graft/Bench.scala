@@ -27,7 +27,8 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cores.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
-      .config("spark.driver.memory", sys.env.getOrElse("SPARK_GRAFT_DRIVER_MEM", "8g"))
+      // driver memory must be sized at JVM launch (local mode); config here
+      // would be silently ignored
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
     s

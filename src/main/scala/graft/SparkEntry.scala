@@ -27,16 +27,18 @@ object SparkEntry {
 
   // ---- shared geometry literals (embedded identically in oracle SQL) ----
   // convex CCW loops; interior = all edge-normal dot products > 0
-  private val P1 = Array(
-    V3(1.0, 0.0, 0.0),
-    V3(0.8191520442889919, 0.5735764363510462, 0.0),
-    V3(0.7094064799162225, 0.49673176489215404, 0.49999999999999994),
-    V3(0.8660254037844387, 0.0, 0.49999999999999994))
-  private val P2 = Array(
-    V3(0.1330222215594891, -0.754406506735489, -0.6427876096865394),
-    V3(0.6634139481689385, -0.383022221559489, -0.6427876096865394),
-    V3(0.8528685319524433, -0.49240387650610395, -0.17364817766693033),
-    V3(0.17101007166283444, -0.9698463103929542, -0.17364817766693036))
+  // vertices at x.xx5-offset lat/lng so no polygon edge (equator-parallel
+  // or meridian geodesic) passes through the 0.01-degree doc grid
+  private val P1 = Array( // 0.005:0.005, 0.005:35.005, 30.005:35.005, 30.005:0.005
+    V3(0.9999999923845646, 8.72664621566684e-05, 8.726646248895446e-05),
+    V3(0.8191019840644155, 0.5736479164838854, 8.726646248895446e-05),
+    V3(0.7093273864236007, 0.49676863839077057, 0.5000755730695549),
+    V3(0.8659817639581998, 7.557116540833052e-05, 0.5000755730695549))
+  private val P2 = Array( // -40.005:-80.005 ... -10.005:-80.005
+    V3(0.13294665039408077, -0.75436286690925, -0.642854457227646),
+    V3(0.6633319419137753, -0.3830520612912147, -0.6428544572276459),
+    V3(0.8528124323180658, -0.49247072159940214, -0.1737341176945642),
+    V3(0.1709228052006778, -0.9698463027775187, -0.1737341176945642))
   private val caps = Seq(
     (1, V3(0.6687229900727684, 0.023352321390163445, 0.7431448254773942), 0.00639658739476123),
     (2, V3(-0.7335178065228575, 0.40659555955740095, -0.5446390350150271), 0.002499479210067507),
@@ -167,7 +169,7 @@ object SparkEntry {
       // large x large path: term equi-join + exact PIP refine (same result
       // as q_s2_pip_join polygon 1, whose text form this is)
       import s.implicits._
-      val polys = Seq((1, "0:0, 0:35, 30:35, 30:0")).toDF("qid", "poly")
+      val polys = Seq((1, "0.005:0.005, 0.005:35.005, 30.005:35.005, 30.005:0.005")).toDF("qid", "poly")
       S2Joins.termPolygonJoin(docsGeo(s, dir), polys)
         .groupBy(col("qid"))
         .agg(count(lit(1)).as("cnt"), sum("doc_id").as("sum_id"))

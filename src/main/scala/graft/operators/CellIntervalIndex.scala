@@ -123,8 +123,9 @@ object CellIntervalIndex {
     val raw = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Int, Int, Boolean)]
     for ((lab, covering, interiorCells) <- entries) {
       val interiorSet = interiorCells.toSet
+      val coveringSet = covering.toSet
       val all = (covering.map(c => (c, interiorSet.contains(c)))
-        ++ interiorCells.filterNot(covering.contains).map(c => (c, true)))
+        ++ interiorCells.filterNot(coveringSet.contains).map(c => (c, true)))
       for ((c, isInt) <- all) {
         raw += ((S2CellId.orderKey(S2CellId.rangeMin(c)),
                  S2CellId.orderKey(S2CellId.rangeMax(c)),
@@ -171,7 +172,6 @@ object CellIntervalIndex {
       bi += 1
     }
     offs += eLab.length
-    // merge adjacent identical segments (same entry slice) for compactness
     new CellIntervalIndex(starts.toArray, ends.toArray, offs.toArray,
       eLab.toArray, eInt.toArray, eLvl.toArray)
   }

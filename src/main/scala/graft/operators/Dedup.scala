@@ -215,30 +215,39 @@ object Dedup {
       .select(col(idCol).as("id"),
         explode(bandKeysKernel(col(textCol), lit(shingleN), lit(numHashes),
           lit(bands))).as("bk"))
-    // O(m) edges per bucket: member -> bucket min
-    val edges = sig.groupBy("bk").agg(min("id").as("rep"), collect_set("id").as("ids"))
+    // O(m) star edges per bucket: member <-> bucket min (undirected, so
+    // labels can flow THROUGH a shared member into another bucket's rep —
+    // a one-directional member->rep scheme never merges two buckets that
+    // share only a non-minimal member)
+    val star = sig.groupBy("bk").agg(min("id").as("rep"), collect_set("id").as("ids"))
       .select(explode(col("ids")).as("id"), col("rep"))
       .where(col("id") =!= col("rep"))
-      .groupBy("id").agg(min("rep").as("rep")) // smallest neighbor label
-      .cache()
-    // min-label propagation to fixpoint
-    var labels = edges
+    val edges = star.unionByName(
+      star.select(col("rep").as("id"), col("id").as("rep"))).cache()
+    // min-label propagation over the undirected star graph to a fixpoint
+    // (connected components; converges in O(log diameter) rounds)
+    var labels = edges.groupBy("id")
+      .agg(least(min("rep"), first("id")).as("label")).cache()
     var converged = false
     var it = 0
     while (!converged && it < maxIters) {
-      val next = labels.as("l")
-        .join(labels.select(col("id").as("rep"), col("rep").as("rep2")).as("r"),
-          Seq("rep"), "left")
-        .select(col("id"), least(col("rep"),
-          coalesce(col("rep2"), col("rep"))).as("rep"))
-        .groupBy("id").agg(min("rep").as("rep"))
+      val nbrMin = edges.join(
+        labels.select(col("id").as("rep"), col("label").as("nbr_label")), "rep")
+        .groupBy("id").agg(min("nbr_label").as("nbr_label"))
+      val next = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
         .cache()
       converged = next.as("a").join(labels.as("b"), "id")
-        .where(col("a.rep") =!= col("b.rep")).isEmpty
+        .where(col("a.label") =!= col("b.label")).isEmpty
+      labels.unpersist()
       labels = next
       it += 1
     }
-    labels
+    edges.unpersist()
+    // contract: (id, rep) for every non-representative member
+    labels.where(col("id") =!= col("label"))
+      .select(col("id"), col("label").as("rep"))
   }
 
   // =======================================================================

@@ -104,8 +104,11 @@ object Density {
     if (bounds.isEmpty) return docs.repartition(numShards)
     val b = docs.sparkSession.sparkContext.broadcast(bounds)
     val sid = udf { (ord: Long) => shardId(b.value)(ord) }
+    // range-partition on the shard id: 1:1 shard->partition mapping (plain
+    // hash repartition would collide shards into shared partitions and
+    // leave others empty — balls-into-bins defeats the balancing)
     docs.withColumn("shard", sid(col("cell_ord")))
-      .repartition(numShards, col("shard"))
+      .repartitionByRange(numShards, col("shard"), col("cell_ord"))
       .sortWithinPartitions("cell_ord")
   }
 }

@@ -104,25 +104,16 @@ object S2Joins {
   // 2. term equi-join (large × large)
   // =======================================================================
 
-  /** Explode docs into (ancestor) index terms for their point. */
-  def docIndexTerms(docs: DataFrame, indexer: S2TermIndexer): DataFrame = {
-    val termsUdf = udf { (cellId: Long) =>
-      indexer.indexTermsForCovering(Array(cellId))
+  /** Explode docs into index terms for their point — the point scheme
+    * (ancestor terms at levels minLevel..trueMaxLevel only, ~13 terms with
+    * reference defaults; s2region_term_indexer.cc:155-175). */
+  def docIndexTerms(docs: DataFrame, indexer: S2TermIndexer,
+                    latCol: String = "lat", lngCol: String = "lng"): DataFrame = {
+    val termsUdf = udf { (lat: Double, lng: Double) =>
+      val p = V3.fromLatLngDegrees(lat, lng)
+      indexer.indexTermsForPoint(p.x, p.y, p.z)
     }
-    docs.withColumn("term", explode(termsUdf(col("cell_id"))))
-  }
-
-  /** docs ⋈ regions via the term scheme; regions arrive as a DataFrame
-    * with (qid: Int, region) where region is rebuilt per-partition from a
-    * broadcast map — for genuinely large region sides use
-    * `termContainsJoinDF` with serialized polygon text. */
-  def termContainsJoin(docs: DataFrame, regionsDF: DataFrame,
-                       regionTermsCol: Column, qidCol: Column,
-                       refine: (DataFrame, DataFrame) => Column): DataFrame = {
-    val docTerms = docs // caller pre-computed "term"
-    val qTerms = regionsDF.select(qidCol.as("qid"),
-      explode(regionTermsCol).as("term"))
-    docTerms.join(qTerms, "term").drop("term")
+    docs.withColumn("term", explode(termsUdf(col(latCol), col(lngCol))))
   }
 
   /** Full term-join pipeline for polygon regions given as text: emits
@@ -133,11 +124,10 @@ object S2Joins {
   def termPolygonJoin(docs: DataFrame, polys: DataFrame,
                       polyTextCol: String = "poly", qidCol: String = "qid",
                       indexer: S2TermIndexer = new S2TermIndexer()): DataFrame = {
-    val docTermsUdf = udf { (cellId: Long) => indexer.indexTermsForCovering(Array(cellId)) }
     val queryTermsUdf = udf { (text: String) =>
       indexer.queryTerms(graft.functions.PolyCache.get(text))
     }
-    val d = docs.withColumn("term", explode(docTermsUdf(col("cell_id"))))
+    val d = docIndexTerms(docs, indexer)
     val q = polys.select(col(qidCol), col(polyTextCol),
       explode(queryTermsUdf(col(polyTextCol))).as("term"))
     d.join(q, "term")
@@ -205,13 +195,14 @@ object S2Joins {
       StructField("dist2", DoubleType, nullable = false)))
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
 
-    // heap entry: (dist2, id); max-heap on dist2 with id DESC tiebreak so
-    // the worst (largest dist, largest id) sits on top and is evicted first
+    // heap entry: (dist2, id); we keep the k smallest by (dist2, id asc),
+    // so the max-heap orders lexicographically by (dist2, id) and the worst
+    // kept element — largest distance, then largest id — sits on top
     val ord = new Ordering[(Double, Any)] {
       def compare(a: (Double, Any), b: (Double, Any)): Int = {
         val c = java.lang.Double.compare(a._1, b._1)
         if (c != 0) c
-        else b._2.asInstanceOf[Comparable[Any]].compareTo(a._2)
+        else a._2.asInstanceOf[Comparable[Any]].compareTo(b._2)
       }
     }
     val partial = in.mapPartitions { it =>

@@ -50,13 +50,7 @@ object Similarity {
   /** Sign-random-projection bucket id: `nPlanes` sign bits packed into a
     * long. Rows in the same bucket are likely-similar (cosine LSH). */
   def srpBucket(vec: Column, nPlanes: Int): Column =
-    (0 until nPlanes).map { p =>
-      val proj = aggregate(
-        zip_with(vec, sequence(lit(0), size(vec) - 1),
-          (x, i) => x.cast("double") * planeComponent(p, i)),
-        lit(0.0), (acc, v) => acc + v)
-      when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
-    }.reduce(_ + _)
+    srpBucketSeeded(vec, nPlanes, 0)
 
   /** ANN top-k via SRP-LSH with multi-probe: queries match data in any of
     * `tables` independent hash tables; candidates then ranked by exact

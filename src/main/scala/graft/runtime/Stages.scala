@@ -65,7 +65,10 @@ final class StageRunner(spark: SparkSession, root: String, jobId: String) {
   /** Drop all manifests (force full re-run). */
   def invalidate(): Unit = {
     def rm(p: java.nio.file.Path): Unit = {
-      if (Files.isDirectory(p)) Files.list(p).forEach(rm)
+      if (Files.isDirectory(p)) {
+        val children = Files.list(p)
+        try children.forEach(rm) finally children.close()
+      }
       Files.deleteIfExists(p)
     }
     val p = Paths.get(base)

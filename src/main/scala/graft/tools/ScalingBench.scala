@@ -14,7 +14,8 @@ object ScalingBench {
       .config("spark.sql.shuffle.partitions", cores.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
-      .config("spark.driver.memory", "48g")
+      // NOTE: driver memory cannot be set here — local-mode driver IS this
+      // JVM; size it at launch (sbt -J-Xmx / spark-submit --driver-memory)
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
     s

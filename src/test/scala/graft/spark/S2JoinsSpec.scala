@@ -116,6 +116,34 @@ class S2JoinsSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("knnJoin breaks exact distance ties by ascending doc id") {
+    import spark.implicits._
+    // two docs bit-identically equidistant from the target (mirrored lng
+    // around 0 -> same chord distance), plus a filler
+    val tied = Seq(("docB", 10.0, 15.0), ("docA", 10.0, -15.0),
+      ("docZ", 50.0, 50.0)).toDF("doc_id", "lat", "lng")
+    val target = Seq(1 -> V3.fromLatLngDegrees(10.0, 0.0))
+    val got = S2Joins.knnJoin(tied, target, k = 1)
+      .select("doc_id").head().getString(0)
+    assert(got == "docA") // ascending id wins the tie
+  }
+
+  test("nearDupClusters merges buckets bridged by a shared non-minimal member") {
+    import spark.implicits._
+    // three identical texts: every pair shares every LSH band; ids chosen
+    // so transitivity matters (all must collapse to min id 1)
+    val t = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val df = Seq((7L, t), (1L, t), (5L, t),
+      (9L, "unrelated words that share nothing with the others at all ok"))
+      .toDF("doc_id", "text")
+    val labels = Dedup.nearDupClusters(df, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(labels.get(5L).contains(1L))
+    assert(labels.get(7L).contains(1L))
+    assert(!labels.contains(1L)) // representative emits no row
+    assert(!labels.contains(9L)) // singleton
+  }
+
   test("tileAssign picks the containing tile; disjoint level-2 tiling partitions all docs") {
     // tiles = all level-2 cells grouped round-robin into 24 tiles: a
     // disjoint partition of the sphere, so every doc gets a tile.
