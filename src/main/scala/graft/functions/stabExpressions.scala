@@ -1,0 +1,64 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, TernaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType}
+import graft.core._
+import graft.operators.CellIntervalIndex
+
+/** Native stab-and-refine expression for the broadcast contains join:
+  * candidate labels from one binary search into the (plan-shipped)
+  * CellIntervalIndex; interior hits skip the exact region test. Unlike a
+  * Scala UDF there is no per-row argument boxing or CatalystTypeConverter
+  * on the result — codegen passes primitives and the kernel returns
+  * ArrayData directly. The index/regions ride the serialized plan to
+  * executors (small: covering cells of a dimension-sized region set). */
+case class S2StabMatch(first: Expression, second: Expression, third: Expression,
+                       index: CellIntervalIndex,
+                       regions: Array[(Int, S2Region)])
+    extends TernaryExpression {
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullable: Boolean = false
+  override def nullIntolerant: Boolean = true
+
+  def kernel(cellOrd: Long, lat: Double, lng: Double): ArrayData = {
+    var out: scala.collection.mutable.ArrayBuffer[Int] = null
+    var p: V3 = null
+    index.visit(cellOrd) { (lab, interior, _) =>
+      val hit = interior || {
+        if (p == null) p = V3.fromLatLngDegrees(lat, lng)
+        var ri = 0; var found = false; var done = false
+        while (ri < regions.length && !done) {
+          if (regions(ri)._1 == lab) { found = regions(ri)._2.contains(p); done = true }
+          ri += 1
+        }
+        found
+      }
+      if (hit) {
+        if (out == null) out = new scala.collection.mutable.ArrayBuffer[Int](4)
+        out += lab
+      }
+    }
+    if (out == null) S2StabMatch.EmptyArray
+    else new GenericArrayData(out.toArray)
+  }
+
+  override def nullSafeEval(ord: Any, lat: Any, lng: Any): Any =
+    kernel(ord.asInstanceOf[Long], lat.asInstanceOf[Double], lng.asInstanceOf[Double])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("stab", this, classOf[S2StabMatch].getName)
+    defineCodeGen(ctx, ev, (o, la, ln) => s"$ref.kernel($o, $la, $ln)")
+  }
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression, newThird: Expression): Expression =
+    copy(first = newFirst, second = newSecond, third = newThird)
+}
+
+object S2StabMatch {
+  val EmptyArray = new GenericArrayData(Array.emptyIntArray)
+}

@@ -61,43 +61,18 @@ object S2Joins {
   def broadcastContainsJoin(docs: DataFrame, regions: Seq[(Int, S2Region)],
                             latCol: String = "lat", lngCol: String = "lng",
                             maxCellsPerRegion: Int = 64): DataFrame = {
-    val spark = docs.sparkSession
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column => toCol, expression => toExpr}
     val index = CellIntervalIndex.fromRegions(regions, maxCellsPerRegion)
-    val bIndex = spark.sparkContext.broadcast(index)
-    val bRegions = spark.sparkContext.broadcast(regions.toArray)
-
-    // single stab-and-refine kernel per row: emits only the matching
-    // labels (interior covering cells skip the exact test). One UDF call,
-    // one small int-array allocation on hit, zero on miss — the hot path
-    // is allocation-free so per-core throughput holds at high parallelism.
-    val matchUdf = udf { (cellOrd: Long, lat: Double, lng: Double) =>
-      val idx = bIndex.value
-      val regs = bRegions.value
-      var out: scala.collection.mutable.ArrayBuffer[Int] = null
-      var p: V3 = null
-      idx.visit(cellOrd) { (lab, interior, _) =>
-        val hit = interior || {
-          if (p == null) p = V3.fromLatLngDegrees(lat, lng)
-          // regs is small (broadcast dimension): linear label lookup is a
-          // cache-friendly scan; label values are arbitrary ints
-          var ri = 0; var found = false; var done = false
-          while (ri < regs.length && !done) {
-            if (regs(ri)._1 == lab) { found = regs(ri)._2.contains(p); done = true }
-            ri += 1
-          }
-          found
-        }
-        if (hit) {
-          if (out == null) out = new scala.collection.mutable.ArrayBuffer[Int](4)
-          if (!out.contains(lab)) out += lab
-        }
-      }
-      if (out == null) Array.emptyIntArray else out.toArray
-    }
-    // no size()>0 pre-filter: explode of an empty array emits no rows, and
-    // a filter would be pushed into the scan and re-evaluate the UDF twice
-    docs
-      .withColumn("qid", explode(matchUdf(col("cell_ord"), col(latCol), col(lngCol))))
+    // single native stab-and-refine expression per row (codegen, no arg
+    // boxing): emits only the matching labels; interior covering cells
+    // skip the exact test. The index rides the serialized plan (small:
+    // dimension-side coverings). No size()>0 pre-filter — explode of an
+    // empty array emits no rows, and a filter would be pushed into the
+    // scan and evaluate the kernel twice.
+    val stab = toCol(graft.functions.S2StabMatch(
+      toExpr(col("cell_ord")), toExpr(col(latCol).cast("double")),
+      toExpr(col(lngCol).cast("double")), index, regions.toArray))
+    docs.withColumn("qid", explode(stab))
   }
 
   // =======================================================================
