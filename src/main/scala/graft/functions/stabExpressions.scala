@@ -62,3 +62,34 @@ case class S2StabMatch(first: Expression, second: Expression, third: Expression,
 object S2StabMatch {
   val EmptyArray = new GenericArrayData(Array.emptyIntArray)
 }
+
+/** Native tile-assignment expression (S2RegionSharder semantics): leaf
+  * stab into the tile interval index; unique hit returns directly,
+  * overlapping tiles fall back to most-intersecting, miss returns
+  * `default`. Same no-boxing rationale as [[S2StabMatch]]. */
+case class S2TileAssign(child: Expression, index: CellIntervalIndex,
+                        default: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = IntegerType
+  override def nullable: Boolean = false
+  override def nullIntolerant: Boolean = true
+
+  def kernel(cellId: Long): Int = {
+    val ord = S2CellId.orderKey(cellId)
+    val labs = index.labelsContaining(ord)
+    if (labs.length == 1) labs(0)
+    else if (labs.isEmpty) default
+    else index.mostIntersecting(Array(cellId), default)
+  }
+
+  override def nullSafeEval(id: Any): Any = kernel(id.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("tileIdx", this, classOf[S2TileAssign].getName)
+    defineCodeGen(ctx, ev, id => s"$ref.kernel($id)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

@@ -124,21 +124,11 @@ object S2Joins {
     * tiles. */
   def tileAssign(docs: DataFrame, tiles: Seq[(Int, Array[Long])],
                  default: Int = -1): DataFrame = {
-    val spark = docs.sparkSession
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column => toCol, expression => toExpr}
     val index = CellIntervalIndex.build(
       tiles.map { case (id, cells) => (id, cells, Array.empty[Long]) })
-    val b = spark.sparkContext.broadcast(index)
-    val assignUdf = udf { (cellId: Long) =>
-      // leaf stab: tiles are unions of cells; the doc's leaf belongs to the
-      // tile covering it. Overlapping tiles → most-intersecting by leaf
-      // count of covering overlap.
-      val ord = S2CellId.orderKey(cellId)
-      val labs = b.value.labelsContaining(ord)
-      if (labs.length == 1) labs(0)
-      else if (labs.isEmpty) default
-      else b.value.mostIntersecting(Array(cellId), default)
-    }
-    docs.withColumn("tile_id", assignUdf(col("cell_id")))
+    docs.withColumn("tile_id",
+      toCol(graft.functions.S2TileAssign(toExpr(col("cell_id")), index, default)))
   }
 
   // =======================================================================
