@@ -363,6 +363,16 @@ object SparkEntry {
         .agg(count(lit(1)).as("cnt"), sum("doc_id").as("sum_id"))
     }),
 
+    "q_mercator_tiles" -> ((s, dir) => {
+      // raster<->vector: web-mercator z=4 tile assignment over doc points
+      val d = docsGeo(s, dir)
+      d.select(col("doc_id"),
+          Projections.tileX(col("lng"), 4).as("tx"),
+          Projections.tileY(col("lat"), 4).as("ty"))
+        .groupBy("tx", "ty")
+        .agg(count(lit(1)).as("cnt"), sum("doc_id").as("sum_id"))
+    }),
+
     // =====================================================================
     // multimodal plumbing (integer arithmetic → oracle-able)
     // =====================================================================
@@ -587,6 +597,13 @@ object SparkEntry {
              }.mkString(" UNION ALL ")})
            GROUP BY sid"""
       },
+
+      "q_mercator_tiles" -> s"""
+        SELECT CAST(least(15, greatest(0, floor((lng + 180.0)/360.0 * 16))) AS BIGINT) AS tx,
+               CAST(least(15, greatest(0, floor((1.0 - ln(tan(radians(lat)) + 1.0/cos(radians(lat))) / pi()) / 2.0 * 16))) AS BIGINT) AS ty,
+               count(*) AS cnt, CAST(sum(doc_id) AS BIGINT) AS sum_id
+        FROM $docsGeoSql d
+        GROUP BY tx, ty""",
 
       "q_media_frames" -> """
         SELECT 'mr://' || doc_id AS media_ref,
