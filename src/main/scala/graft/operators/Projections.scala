@@ -61,4 +61,58 @@ object Projections {
       latOf(ty + 1.0), lngOf(tx.toDouble), latOf(ty.toDouble), lngOf(tx + 1.0))
     new S2RegionCoverer(maxCells).getCovering(rect)
   }
+
+  // ---- edge tessellation (reference S2EdgeTessellator semantics:
+  // geodesic -> projected chain within tolerance, recursive bisection;
+  // /root/reference/src/s2/s2edge_tessellator.h:38-95) ----
+
+  private def project(p: V3): (Double, Double) =
+    (V3.lngRadians(p), math.log(math.tan(math.Pi / 4 + V3.latRadians(p) / 2)))
+
+  private def unproject(x: Double, y: Double): V3 =
+    V3.fromLatLngRadians(math.atan(math.sinh(y)), x)
+
+  /** Geodesic a→b as a chain of Mercator-projected points such that the
+    * unprojected polyline stays within `toleranceRad` of the geodesic.
+    * Returns projected (x, y) including both endpoints. */
+  def tessellateProjected(a: V3, b: V3, toleranceRad: Double,
+                          maxDepth: Int = 30): Array[(Double, Double)] = {
+    val out = scala.collection.mutable.ArrayBuffer[(Double, Double)](project(a))
+    def recurse(a: V3, pa: (Double, Double), b: V3, pb: (Double, Double),
+                depth: Int): Unit = {
+      val geoMid = S2EdgeDistances.interpolate(a, b, 0.5)
+      val projMid = ((pa._1 + pb._1) / 2, (pa._2 + pb._2) / 2)
+      val err = unproject(projMid._1, projMid._2).angle(geoMid)
+      if (err <= toleranceRad || depth >= maxDepth) out += pb
+      else {
+        val pm = project(geoMid)
+        recurse(a, pa, geoMid, pm, depth + 1)
+        recurse(geoMid, pm, b, pb, depth + 1)
+      }
+    }
+    recurse(a, project(a), b, project(b), 0)
+    out.toArray
+  }
+
+  /** Inverse: planar Mercator segment as geodesic vertices within
+    * tolerance of the planar line (AppendUnprojected semantics). */
+  def tessellateUnprojected(pa: (Double, Double), pb: (Double, Double),
+                            toleranceRad: Double,
+                            maxDepth: Int = 30): Array[V3] = {
+    val out = scala.collection.mutable.ArrayBuffer[V3](unproject(pa._1, pa._2))
+    def recurse(pa: (Double, Double), a: V3, pb: (Double, Double), b: V3,
+                depth: Int): Unit = {
+      val projMid = ((pa._1 + pb._1) / 2, (pa._2 + pb._2) / 2)
+      val planMid = unproject(projMid._1, projMid._2)
+      val geoMid = S2EdgeDistances.interpolate(a, b, 0.5)
+      val err = planMid.angle(geoMid)
+      if (err <= toleranceRad || depth >= maxDepth) out += b
+      else {
+        recurse(pa, a, projMid, planMid, depth + 1)
+        recurse(projMid, planMid, pb, b, depth + 1)
+      }
+    }
+    recurse(pa, out(0), pb, unproject(pb._1, pb._2), 0)
+    out.toArray
+  }
 }

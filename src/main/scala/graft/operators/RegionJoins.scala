@@ -38,6 +38,29 @@ object RegionJoins {
       .select("lid", "rid")
   }
 
+  /** Exact polygon×polygon intersects join (polygon text columns, both
+    * sides arbitrary size): covering-term candidates + exact
+    * S2Polygon.intersectsPolygon refine (edge crossings + containment,
+    * reference s2polygon.h:296-343). */
+  def polygonIntersectsJoin(left: DataFrame, leftId: String, leftPoly: String,
+                            right: DataFrame, rightId: String, rightPoly: String): DataFrame = {
+    val idxTerms = udf { (text: String) =>
+      indexer.indexTerms(graft.functions.PolyCache.get(text)) }
+    val qryTerms = udf { (text: String) =>
+      indexer.queryTerms(graft.functions.PolyCache.get(text)) }
+    val exact = udf { (a: String, b: String) =>
+      graft.functions.PolyCache.get(a)
+        .intersectsPolygon(graft.functions.PolyCache.get(b)) }
+    val l = left.select(col(leftId).as("lid"), col(leftPoly).as("lpoly"))
+      .withColumn("term", explode(idxTerms(col("lpoly"))))
+    val r = right.select(col(rightId).as("rid"), col(rightPoly).as("rpoly"))
+      .withColumn("term", explode(qryTerms(col("rpoly"))))
+    l.join(r, "term").drop("term")
+      .dropDuplicates("lid", "rid")
+      .where(exact(col("lpoly"), col("rpoly")))
+      .select("lid", "rid")
+  }
+
   // ---- cell-union set algebra as columns (SURVEY §2.9) ----
   val unionUdf = udf { (a: Array[Long], b: Array[Long]) => S2CellUnion.union(a, b) }
   val intersectionUdf = udf { (a: Array[Long], b: Array[Long]) =>
