@@ -363,6 +363,23 @@ object SparkEntry {
         .agg(count(lit(1)).as("cnt"), sum("doc_id").as("sum_id"))
     }),
 
+    "q_geom_validation" -> ((s, dir) => { // rows-only (crossing-test kernel)
+      // synthesize per-doc polygons; every 11th is a bowtie (invalid)
+      val d = docsGeo(s, dir).limit(2000)
+        .withColumn("poly",
+          when(col("doc_id") % 11 === 0,
+            format_string("%.2f:%.2f, %.2f:%.2f, %.2f:%.2f, %.2f:%.2f",
+              col("lat"), col("lng"), col("lat") + 1, col("lng") + 1,
+              col("lat"), col("lng") + 1, col("lat") + 1, col("lng")))
+          .otherwise(
+            format_string("%.2f:%.2f, %.2f:%.2f, %.2f:%.2f, %.2f:%.2f",
+              col("lat"), col("lng"), col("lat"), col("lng") + 1,
+              col("lat") + 1, col("lng") + 1, col("lat") + 1, col("lng"))))
+      Validation.withValidation(d, "poly")
+        .groupBy(coalesce(col("geom_error"), lit("VALID")).as("verdict"))
+        .agg(count(lit(1)).as("cnt"))
+    }),
+
     "q_mercator_tiles" -> ((s, dir) => {
       // raster<->vector: web-mercator z=4 tile assignment over doc points
       val d = docsGeo(s, dir)

@@ -154,6 +154,14 @@ object S2 {
     exactAreaUdf(id)
   }
 
+  /** E6/E7 fixed-point lat/lng conversions (reference s1angle.h:39-55):
+    * degrees stored as 1e6/1e7-scaled integers, round-half-even free —
+    * the reference uses round-to-nearest via lround. */
+  def e7(deg: Column): Column = round(deg * 1e7, 0).cast("long")
+  def fromE7(e: Column): Column = e.cast("double") / 1e7
+  def e6(deg: Column): Column = round(deg * 1e6, 0).cast("long")
+  def fromE6(e: Column): Column = e.cast("double") / 1e6
+
   /** Earth mean radius (reference s2earth.h). */
   val EarthRadiusMeters: Double = 6371010.0
 

@@ -1,0 +1,47 @@
+package graft.spark
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.core._
+import graft.operators.Validation
+
+class ValidationSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("geometry validation flags the right violations and passes valid loops") {
+    import spark.implicits._
+    val rows = Seq(
+      ("ok",        "0:0, 0:10, 10:10, 10:0"),
+      ("too_few",   "0:0, 0:10"),
+      ("dup_adj",   "0:0, 0:10, 0:10, 10:10"),
+      ("self_x",    "0:0, 10:10, 0:10, 10:0"), // bowtie
+      ("garbage",   "not a polygon at all"))
+    val out = Validation.withValidation(rows.toDF("name", "poly"), "poly")
+      .select("name", "geom_error").collect()
+      .map(r => (r.getString(0), Option(r.getString(1)))).toMap
+    assert(out("ok").isEmpty)
+    assert(out("too_few").contains("TOO_FEW_VERTICES"))
+    assert(out("dup_adj").contains("DUPLICATE_ADJACENT_VERTICES"))
+    assert(out("self_x").contains("SELF_INTERSECTION"))
+    assert(out("garbage").contains("PARSE_ERROR"))
+    assert(Validation.validOnly(rows.toDF("name", "poly"), "poly").count() == 1)
+  }
+
+  test("E6/E7 fixed point round trips on the doc grid") {
+    import spark.implicits._
+    val df = Seq(48.8566, -33.865, 0.01, -179.99, 85.0).toDF("deg")
+      .withColumn("e7", graft.functions.S2.e7($"deg"))
+      .withColumn("back", graft.functions.S2.fromE7($"e7"))
+      .withColumn("e6", graft.functions.S2.e6($"deg"))
+      .withColumn("back6", graft.functions.S2.fromE6($"e6"))
+    df.collect().foreach { r =>
+      assert(math.abs(r.getAs[Double]("deg") - r.getAs[Double]("back")) < 5e-8)
+      assert(math.abs(r.getAs[Double]("deg") - r.getAs[Double]("back6")) < 5e-7)
+    }
+  }
+}
