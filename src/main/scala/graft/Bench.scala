@@ -19,7 +19,8 @@ import graft.sources.DocSource
 object Bench {
   private val headline = Seq(
     "q1_agg", "q_s2_rect_join", "q_s2_pip_join", "q_s2_knn",
-    "q_s2_tile_assign", "q_dedup_minhash", "q_ann_topk", "q_text_stats")
+    "q_s2_tile_assign", "q_s2_term_join", "q_dedup_minhash", "q_ann_topk",
+    "q_text_stats")
 
   private def session(cores: Int): SparkSession = {
     val s = SparkSession.builder()
@@ -36,10 +37,20 @@ object Bench {
 
   /** Materialize the synthetic interleaved docs table once (generation is
     * not part of the measured job — the north rule measures covering +
-    * PIP join + tile assignment over an existing table). */
+    * PIP join + tile assignment over an existing table).
+    *
+    * 256 files (not 64): at 32 cores, 64 input splits = 2 task waves, and
+    * per-task duration skew leaves cores idle at each wave tail — a real
+    * scaling-efficiency loss that 8 cores (8 waves) amortizes. 8 waves at
+    * 32 cores / 32 at 8 cores smooths both. Same reasoning as oversizing
+    * `spark.sql.files.maxPartitionBytes` down on a real cluster. */
   def materializeDocs(spark: SparkSession, n: Long, path: String): Unit =
-    DocSource.docs(spark, n, parallelism = 64)
+    DocSource.docs(spark, n, parallelism = 256)
       .write.mode("overwrite").parquet(path)
+
+  /** Input path, versioned by layout so a cached 64-file materialization
+    * from an older build is not silently reused. */
+  def docsPath(n: Long): String = s"/tmp/graft_bench_docs_${n}_p256"
 
   /** The flagship three-stage job over the materialized table: ingest
     * (cell ids) → covering+PIP join (6 regions) → tile assign →
@@ -81,20 +92,30 @@ object Bench {
       name -> (System.nanoTime() - t0) / 1e9
     }
 
-    // ---- phase 2: flagship pipeline at cpus, then cpus/4 ----
-    val docsPath = s"/tmp/graft_bench_docs_$benchDocs"
+    // ---- phase 2: flagship pipeline, interleaved lo/hi protocol ----
+    // Round-1 protocol (best-of-2, all hi-core reps measured before any
+    // lo-core rep) was maximally exposed to interval noise: this VM shows
+    // vCPU steal/turbo swings and, right after materializing the input,
+    // dirty-page writeback that can slow the first measured session 4x.
+    // Rework (VERDICT round-1 item 1): explicit page-cache warm before any
+    // timing, then ROUNDS alternating sessions at lo/hi cores (order
+    // flipped each round) with REPS timed reps per session, so any noise
+    // interval hits both levels symmetrically; report the MEDIAN per level
+    // (best + all reps kept in the JSON).
+    val docsPath = Bench.docsPath(benchDocs)
     if (!new java.io.File(s"$docsPath/_SUCCESS").exists())
       materializeDocs(spark, benchDocs, docsPath)
-    def best(reps: Int)(f: => Unit): Double =
-      (1 to reps).map { _ =>
-        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
-      }.min
+    // warm the page cache on the columns the pipeline reads (untimed);
+    // also flushes any writeback from a fresh materialize out of the way
+    spark.read.parquet(docsPath).agg(sum(col("lat") + col("lng"))).head()
+    spark.stop()
 
-    // pure-CPU thread-scaling ceiling measured in the same interval: this
-    // VM's vCPUs show steal/turbo variance, so raw 4x is unattainable by
-    // any workload; efficiency is also reported normalized to the ceiling.
+    // pure-CPU thread-scaling ceiling measured adjacent to each session:
+    // this VM's vCPUs show steal/turbo variance, so raw 4x is unattainable
+    // by any workload; efficiency is also reported normalized to the
+    // ceiling (concurrently measured, same interval).
     def cpuRate(threads: Int): Double = {
-      val per = 400000000L
+      val per = 200000000L
       def work(nn: Long): Long = {
         var z = 0x9E3779B97F4A7C15L; var acc = 0L; var i = 0L
         while (i < nn) {
@@ -111,34 +132,63 @@ object Bench {
       ts.foreach(_.start()); ts.foreach(_.join())
       threads * per / ((System.nanoTime() - t0) / 1e9)
     }
-
-    pipeline(spark, docsPath) // warmup
-    var matched = 0L
-    val ceilHiA = cpuRate(cpus)
-    val tHi = best(2) { matched = pipeline(spark, docsPath) }
-    val ceilHiB = cpuRate(cpus)
-    spark.stop()
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (s.isEmpty) Double.NaN
+      else if (s.size % 2 == 1) s(s.size / 2)
+      else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+    }
 
     val lowCores = math.max(1, cpus / 4)
-    spark = session(lowCores)
-    pipeline(spark, docsPath) // re-warm new session
-    val ceilLoA = cpuRate(lowCores)
-    val tLo = best(2) { pipeline(spark, docsPath) }
-    val ceilLoB = cpuRate(lowCores)
-    spark.stop()
+    val rounds = sys.env.getOrElse("SPARK_GRAFT_BENCH_ROUNDS", "3").toInt
+    val repsPerRound = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt
+    var matched = 0L
+    // one session at `cores`: 1 untimed warmup + repsPerRound timed reps,
+    // hw ceiling sampled adjacent (between warmup and timed reps)
+    def sessionReps(cores: Int): (Seq[Double], Double) = {
+      val s = session(cores)
+      matched = pipeline(s, docsPath) // warmup (JIT, codegen, broadcast)
+      val ceil = cpuRate(cores)
+      val times = (1 to repsPerRound).map { _ =>
+        val t0 = System.nanoTime()
+        val m = pipeline(s, docsPath)
+        require(m == matched, s"result drift: $m vs $matched")
+        (System.nanoTime() - t0) / 1e9
+      }
+      s.stop()
+      (times, ceil)
+    }
+    val repsLo = collection.mutable.ArrayBuffer[Double]()
+    val repsHi = collection.mutable.ArrayBuffer[Double]()
+    val ceilLo = collection.mutable.ArrayBuffer[Double]()
+    val ceilHi = collection.mutable.ArrayBuffer[Double]()
+    for (r <- 0 until rounds) {
+      val order = if (r % 2 == 0) Seq(lowCores, cpus) else Seq(cpus, lowCores)
+      for (cores <- order) {
+        val (ts, c) = sessionReps(cores)
+        if (cores == cpus) { repsHi ++= ts; ceilHi += c }
+        else { repsLo ++= ts; ceilLo += c }
+      }
+    }
 
+    val tHi = median(repsHi.toSeq)
+    val tLo = median(repsLo.toSeq)
     val speedup = tLo / tHi
     val ratio = cpus.toDouble / lowCores
     val efficiency = speedup / ratio
-    val hwSpeedup = ((ceilHiA + ceilHiB) / 2) / ((ceilLoA + ceilLoB) / 2)
+    val hwSpeedup = median(ceilHi.toSeq) / median(ceilLo.toSeq)
     val normEfficiency = if (hwSpeedup > 0) speedup / hwSpeedup else efficiency
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    def arr(xs: Seq[Double]): String = xs.mkString("[", ",", "]")
     val pipelineJson =
       s"""{"docs":$benchDocs,"matched":$matched,"cores_hi":$cpus,"cores_lo":$lowCores,""" +
-      s""""sec_hi":$tHi,"sec_lo":$tLo,"docs_per_sec_hi":${benchDocs / tHi},""" +
-      s""""docs_per_sec_lo":${benchDocs / tLo},"speedup":$speedup,"scaling_efficiency":$efficiency,""" +
+      s""""protocol":"interleaved ${rounds}x$repsPerRound median","sec_hi":$tHi,"sec_lo":$tLo,""" +
+      s""""sec_hi_best":${repsHi.min},"sec_lo_best":${repsLo.min},""" +
+      s""""reps_hi":${arr(repsHi.toSeq)},"reps_lo":${arr(repsLo.toSeq)},""" +
+      s""""docs_per_sec_hi":${benchDocs / tHi},"docs_per_sec_lo":${benchDocs / tLo},""" +
+      s""""speedup":$speedup,"scaling_efficiency":$efficiency,""" +
       s""""hw_ceiling_speedup":$hwSpeedup,"scaling_efficiency_vs_hw":$normEfficiency}"""
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""pipeline":$pipelineJson,"sf":"$sfDir"}""")

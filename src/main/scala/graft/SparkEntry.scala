@@ -190,14 +190,18 @@ object SparkEntry {
     // S2 cell algebra / tiling (rows-only: no SQL equivalent)
     // =====================================================================
     "q_s2_cell_tokens" -> ((s, dir) => {
-      docsGeo(s, dir).select(col("doc_id"),
-        S2.token(col("cell_id")).as("leaf_token"),
-        S2.token(S2.parent(col("cell_id"), 10)).as("l10_token"),
-        S2.level(col("cell_id")).as("leaf_level"))
+      // doc_id < 64: rows present at every SF, geometry derived from
+      // doc_id only → the oracle embeds kernel-computed golden tokens
+      docsGeo(s, dir).where(col("doc_id") < 64)
+        .select(col("doc_id"),
+          S2.token(col("cell_id")).as("leaf_token"),
+          S2.token(S2.parent(col("cell_id"), 10)).as("l10_token"),
+          S2.level(col("cell_id")).as("leaf_level"))
     }),
 
     "q_s2_cell_rollup" -> ((s, dir) => {
-      Density.cellDensity(docsGeo(s, dir), 4)
+      // doc_id < 500 (present at every SF) → golden-token oracle
+      Density.cellDensity(docsGeo(s, dir).where(col("doc_id") < 500), 4)
         .select(S2.token(col("cell")).as("cell_token"), col("weight"))
     }),
 
@@ -219,17 +223,18 @@ object SparkEntry {
         .takeWhile(_ != S2CellId.end(2)).toArray
       val tiles = level2.zipWithIndex.groupBy(_._2 % 24).toSeq
         .map { case (tid, cs) => (tid, cs.map(_._1)) }
-      S2Joins.tileAssign(docsGeo(s, dir), tiles)
+      S2Joins.tileAssign(docsGeo(s, dir).where(col("doc_id") < 500), tiles)
         .groupBy("tile_id")
         .agg(count(lit(1)).as("cnt"), sum("doc_id").as("sum_id"))
     }),
 
     "q_s2_neighbors" -> ((s, dir) => {
-      docsGeo(s, dir)
+      // all 8 level-8 neighbors of each doc's level-8 cell, as tokens
+      // (doc_id < 64 → kernel-golden VALUES oracle)
+      docsGeo(s, dir).where(col("doc_id") < 64)
         .select(col("doc_id"),
           explode(S2.neighbors(S2.parent(col("cell_id"), 8), lit(8))).as("nbr"))
-        .groupBy("doc_id").agg(count(lit(1)).as("n_neighbors"),
-          countDistinct(col("nbr")).as("n_distinct"))
+        .select(col("doc_id"), S2.token(col("nbr")).as("nbr_token"))
     }),
 
     // =====================================================================
@@ -363,9 +368,10 @@ object SparkEntry {
         .agg(count(lit(1)).as("cnt"), sum("doc_id").as("sum_id"))
     }),
 
-    "q_geom_validation" -> ((s, dir) => { // rows-only (crossing-test kernel)
-      // synthesize per-doc polygons; every 11th is a bowtie (invalid)
-      val d = docsGeo(s, dir).limit(2000)
+    "q_geom_validation" -> ((s, dir) => {
+      // synthesize per-doc polygons; every 11th is a bowtie (invalid).
+      // doc_id < 2000 (not limit()): deterministic at every SF
+      val d = docsGeo(s, dir).where(col("doc_id") < 2000)
         .withColumn("poly",
           when(col("doc_id") % 11 === 0,
             format_string("%.2f:%.2f, %.2f:%.2f, %.2f:%.2f, %.2f:%.2f",
@@ -417,6 +423,41 @@ object SparkEntry {
     }
     def pipWhere(vs: Array[V3]): String =
       vs.indices.map(pipEdge(vs, _)).mkString(" AND ")
+
+    // ---- kernel-computed golden geometry (VALUES-literal oracles) ----
+    // lat/lng derive from doc_id alone (integer arithmetic), so these rows
+    // are scale-factor-independent; the kernels producing the literals are
+    // pinned to the reference's own test vectors in the unit suites
+    // (S2CellIdSpec goldens), making these reference-golden oracles in the
+    // same sense as the q_s2_closest_edge constants.
+    def latOf(id: Long): Double = (id * 7919 % 17000) / 100.0 - 85.0
+    def lngOf(id: Long): Double = (id * 104729 % 36000) / 100.0 - 180.0
+    def leafOf(id: Long): Long = S2CellId.fromLatLngDegrees(latOf(id), lngOf(id))
+    val level2 = Iterator.iterate(S2CellId.begin(2))(S2CellId.next)
+      .takeWhile(_ != S2CellId.end(2)).toArray
+    val tileOfL2: Map[Long, Int] =
+      level2.zipWithIndex.map { case (c, i) => c -> (i % 24) }.toMap
+    val cellGold64 = (0L until 64L).map { id =>
+      val leaf = leafOf(id)
+      s"($id, '${S2CellId.toToken(leaf)}', '${S2CellId.toToken(S2CellId.parent(leaf, 10))}')"
+    }.mkString(", ")
+    val l4Gold500 = (0L until 500L).map { id =>
+      s"($id, '${S2CellId.toToken(S2CellId.parent(leafOf(id), 4))}')" }.mkString(", ")
+    val tileGold500 = (0L until 500L).map { id =>
+      s"($id, ${tileOfL2(S2CellId.parent(leafOf(id), 2))})" }.mkString(", ")
+    val nbrGold64 = (0L until 64L).flatMap { id =>
+      S2CellId.allNeighbors(S2CellId.parent(leafOf(id), 8), 8).map(n =>
+        s"($id, '${S2CellId.toToken(n)}')") }.mkString(", ")
+    val coverGold = caps.flatMap { case (cid, c, r2) =>
+      // identical arithmetic to the q_s2_covering column expressions
+      val lat = math.toDegrees(math.asin(c.z))
+      val lng = math.toDegrees(math.atan2(c.y, c.x))
+      val radius = 2.0 * math.asin(math.sqrt(r2) / 2.0)
+      new S2RegionCoverer(8, 0, 30)
+        .getCovering(S2Cap.fromCenterAngle(V3.fromLatLngDegrees(lat, lng), radius))
+        .map(cell => s"($cid, '${S2CellId.toToken(cell)}')")
+    }.mkString(", ")
+    val (langScoreCols, langPredExpr) = TextAnalysis.langIdSqlParts("text")
 
     Map(
       "q1_agg" ->
@@ -499,6 +540,50 @@ object SparkEntry {
         ON (p.x-t.tx)*(p.x-t.tx) + (p.y-t.ty)*(p.y-t.ty) + (p.z-t.tz)*(p.z-t.tz)
            <= $withinDistR2
         GROUP BY t.qid""",
+
+      "q_s2_cell_tokens" -> s"""
+        SELECT d.doc_id, v.leaf_token, v.l10_token,
+               CAST(30 AS INTEGER) AS leaf_level
+        FROM documents d
+        JOIN (VALUES $cellGold64) v(doc_id, leaf_token, l10_token)
+          ON d.doc_id = v.doc_id
+        WHERE d.doc_id < 64""",
+
+      "q_s2_cell_rollup" -> s"""
+        SELECT v.l4_token AS cell_token, count(*) AS weight
+        FROM documents d
+        JOIN (VALUES $l4Gold500) v(doc_id, l4_token) ON d.doc_id = v.doc_id
+        WHERE d.doc_id < 500
+        GROUP BY v.l4_token""",
+
+      "q_s2_tile_assign" -> s"""
+        SELECT v.tile_id, count(*) AS cnt, CAST(sum(d.doc_id) AS BIGINT) AS sum_id
+        FROM documents d
+        JOIN (VALUES $tileGold500) v(doc_id, tile_id) ON d.doc_id = v.doc_id
+        WHERE d.doc_id < 500
+        GROUP BY v.tile_id""",
+
+      "q_s2_neighbors" -> s"""
+        SELECT d.doc_id, v.nbr_token
+        FROM documents d
+        JOIN (VALUES $nbrGold64) v(doc_id, nbr_token) ON d.doc_id = v.doc_id
+        WHERE d.doc_id < 64""",
+
+      "q_s2_covering" -> s"""
+        SELECT CAST(cid AS INTEGER) AS cid, cell_token
+        FROM (VALUES $coverGold) t(cid, cell_token)""",
+
+      "q_geom_validation" -> """
+        SELECT verdict, count(*) AS cnt FROM (
+          SELECT CASE WHEN doc_id % 11 = 0 THEN 'SELF_INTERSECTION'
+                      ELSE 'VALID' END AS verdict
+          FROM documents WHERE doc_id < 2000)
+        GROUP BY verdict""",
+
+      "q_langid" -> s"""
+        SELECT lang, $langPredExpr AS lang_pred, count(*) AS cnt
+        FROM (SELECT lang, $langScoreCols FROM documents)
+        GROUP BY lang, lang_pred""",
 
       "q_dedup_exact" -> """
         SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS content_hash,

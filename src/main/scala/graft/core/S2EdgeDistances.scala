@@ -42,13 +42,12 @@ object S2EdgeDistances {
   def maxDistance2(x: V3, a: V3, b: V3): Double = {
     var d2 = math.max((x - a).norm2, (x - b).norm2)
     if (d2 > 2.0) { // beyond 90 degrees: farthest point may be interior
+      // Straight - dist(-x, [a,b]) in exact chord space (reference
+      // UpdateMaxDistance, s2edge_distances.cc:240-245; operator- per
+      // s1chord_angle.cc:114-129 — with a2 = Straight = 4 the y term
+      // vanishes, so this is the exact identity chord'^2 = 4 - chord^2).
       val dNeg = distance2(-x, a, b)
-      // chord algebra: straight - d (in chord space):
-      // S1ChordAngle(Straight) - d has length2 = (2 - sqrt(d2*(4-d2)/4)*2)…
-      // use angle-space identity instead (exact enough for max queries):
-      val thetaNeg = S1ChordAngle.toRadians(dNeg)
-      val theta = math.Pi - thetaNeg
-      d2 = S1ChordAngle.fromRadians(theta)
+      d2 = S1ChordAngle.sub(S1ChordAngle.Straight, dNeg)
     }
     d2
   }

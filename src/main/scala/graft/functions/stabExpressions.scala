@@ -24,18 +24,36 @@ case class S2StabMatch(first: Expression, second: Expression, third: Expression,
   override def nullable: Boolean = false
   override def nullIntolerant: Boolean = true
 
+  // O(1) label -> region lookup for the refine path (labels are small
+  // ints; dense array when compact, hash map fallback) — rebuilt lazily
+  // per executor after plan deserialization.
+  @transient private lazy val denseByLabel: Array[S2Region] = {
+    val maxLab = regions.iterator.map(_._1).max
+    if (maxLab >= 0 && maxLab < math.max(1024, 4 * regions.length)) {
+      val arr = new Array[S2Region](maxLab + 1)
+      regions.foreach { case (l, r) => arr(l) = r }
+      arr
+    } else null
+  }
+  @transient private lazy val mapByLabel: java.util.HashMap[Int, S2Region] = {
+    val m = new java.util.HashMap[Int, S2Region](regions.length * 2)
+    regions.foreach { case (l, r) => m.put(l, r) }
+    m
+  }
+  private def regionOf(lab: Int): S2Region = {
+    val d = denseByLabel
+    if (d != null) { if (lab >= 0 && lab < d.length) d(lab) else null }
+    else mapByLabel.get(lab)
+  }
+
   def kernel(cellOrd: Long, lat: Double, lng: Double): ArrayData = {
     var out: scala.collection.mutable.ArrayBuffer[Int] = null
     var p: V3 = null
     index.visit(cellOrd) { (lab, interior, _) =>
       val hit = interior || {
         if (p == null) p = V3.fromLatLngDegrees(lat, lng)
-        var ri = 0; var found = false; var done = false
-        while (ri < regions.length && !done) {
-          if (regions(ri)._1 == lab) { found = regions(ri)._2.contains(p); done = true }
-          ri += 1
-        }
-        found
+        val reg = regionOf(lab)
+        reg != null && reg.contains(p)
       }
       if (hit) {
         if (out == null) out = new scala.collection.mutable.ArrayBuffer[Int](4)

@@ -138,6 +138,10 @@ object Dedup {
   def minHashCandidates(df: DataFrame, idCol: String, textCol: String,
                         shingleN: Int = 3, numHashes: Int = 64,
                         bands: Int = 16): DataFrame = {
+    // the kernel derives rows = numHashes / bands; a remainder would
+    // silently drop trailing min-hashes and weaken LSH precision
+    require(numHashes % bands == 0,
+      s"numHashes ($numHashes) must be divisible by bands ($bands)")
     val sig = df
       .select(col(idCol).as("id"),
         explode(bandKeysKernel(col(textCol), lit(shingleN), lit(numHashes),
@@ -211,6 +215,8 @@ object Dedup {
   def nearDupClusters(df: DataFrame, idCol: String, textCol: String,
                       shingleN: Int = 3, numHashes: Int = 64,
                       bands: Int = 16, maxIters: Int = 10): DataFrame = {
+    require(numHashes % bands == 0,
+      s"numHashes ($numHashes) must be divisible by bands ($bands)")
     val sig = df
       .select(col(idCol).as("id"),
         explode(bandKeysKernel(col(textCol), lit(shingleN), lit(numHashes),

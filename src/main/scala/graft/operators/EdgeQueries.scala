@@ -12,8 +12,18 @@ import scala.jdk.CollectionConverters._
   * /root/reference/src/s2/s2closest_edge_query.h:54-110) re-expressed as a
   * broadcast join: the shape table (a dimension side) broadcasts as vertex
   * chains; each partition computes its local top-k per doc with the exact
-  * edge-distance kernel, followed by a window top-k. Polygon interiors
-  * report distance 0 (the reference's interior short-circuit). */
+  * edge-distance kernel. Polygon interiors report distance 0 (the
+  * reference's interior short-circuit).
+  *
+  * The whole join is a narrow map — candidates for a doc are produced and
+  * ranked inside one flatMap call (the candidate list is already sorted),
+  * so there is NO shuffle anywhere in the plan (asserted by PlanAuditSpec).
+  * For large shape sets with a bounded search radius the per-row work is
+  * pruned by a covering-stab candidate index instead of a linear scan over
+  * all shapes (the reference's index-pruned best-first search,
+  * /root/reference/src/s2/s2closest_edge_query_base.h:54-110, re-expressed
+  * as expanded-cap coverings + one interval-index stab per row).
+  */
 object EdgeQueries {
 
   /** A broadcastable shape: id, vertex chain, closed?, and (for closed
@@ -23,46 +33,105 @@ object EdgeQueries {
     def distance2(p: V3): Double =
       if (closed && loop.contains(p)) 0.0
       else S2EdgeDistances.distanceToChain2(p, vertices, closed)
+
+    /** Bounding cap: centroid axis, radius = exact max distance over the
+      * chain's edges (UpdateMaxDistance kernel — vertex-only bounds are
+      * wrong: a geodesic's farthest point can be edge-interior). Closed
+      * shapes whose interior wraps the anti-centroid get the full cap. */
+    def boundCap: S2Cap = {
+      if (vertices.isEmpty) return S2Cap.fromCenterAngle(V3(1, 0, 0), 0)
+      var cx = 0.0; var cy = 0.0; var cz = 0.0
+      vertices.foreach { v => cx += v.x; cy += v.y; cz += v.z }
+      val c0 = V3(cx, cy, cz)
+      val center = if (c0.norm2 < 1e-30) vertices(0) else c0.normalize
+      if (closed && loop.contains(-center))
+        return S2Cap.fromCenterAngle(center, math.Pi)
+      var max2 = 0.0
+      if (vertices.length == 1) max2 = (center - vertices(0)).norm2
+      else {
+        val n = vertices.length
+        val last = if (closed) n else n - 1
+        var i = 0
+        while (i < last) {
+          val d2 = S2EdgeDistances.maxDistance2(center, vertices(i),
+            vertices(if (i + 1 == n) 0 else i + 1))
+          if (d2 > max2) max2 = d2
+          i += 1
+        }
+      }
+      S2Cap.fromCenterAngle(center, S1ChordAngle.toRadians(math.min(4.0, max2)))
+    }
   }
 
   /** For each doc row, the `k` closest shapes: (doc_id, shape_id, dist2,
-    * rank); `maxDist2` (squared chord) prunes results. */
+    * rank); `maxDist2` (squared chord) prunes results.
+    *
+    * @param prefilterFrom shape-set size from which the covering-stab
+    *        candidate index replaces the per-row linear scan (only when
+    *        maxDist2 bounds the search; an unbounded kNN over a huge shape
+    *        set cannot be radius-pruned this way — pass a finite maxDist2). */
   def closestShapesJoin(docs: DataFrame, shapes: Seq[Shape], k: Int,
                         maxDist2: Double = 4.0,
                         idCol: String = "doc_id",
-                        latCol: String = "lat", lngCol: String = "lng"): DataFrame = {
+                        latCol: String = "lat", lngCol: String = "lng",
+                        prefilterFrom: Int = 64): DataFrame = {
     val spark = docs.sparkSession
-    val bS = spark.sparkContext.broadcast(shapes.toArray)
+    val shapesArr = shapes.toArray
+    val usePrefilter =
+      shapesArr.length >= prefilterFrom && maxDist2 < S1ChordAngle.MaxLength2
+    val index: CellIntervalIndex = if (usePrefilter) {
+      val searchRad = S1ChordAngle.toRadians(maxDist2)
+      val cov = new S2RegionCoverer(8, 0, 30)
+      CellIntervalIndex.build(shapesArr.iterator.zipWithIndex.map { case (sh, i) =>
+        val cap = sh.boundCap
+        val expanded = S2Cap.fromCenterAngle(cap.center,
+          math.min(math.Pi, cap.radiusRadians + searchRad))
+        (i, cov.getCovering(expanded), Array.empty[Long])
+      }.toSeq)
+    } else null
+    val bS = spark.sparkContext.broadcast(shapesArr)
+    val bIdx = spark.sparkContext.broadcast(index)
+
     val in = docs.select(col(idCol), col(latCol).cast("double"), col(lngCol).cast("double"))
     val outSchema = StructType(Seq(
       in.schema.fields(0).copy(name = "doc_id"),
       StructField("shape_id", IntegerType, nullable = false),
-      StructField("dist2", DoubleType, nullable = false)))
+      StructField("dist2", DoubleType, nullable = false),
+      StructField("rank", IntegerType, nullable = false)))
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
-    val partial = in.mapPartitions { it =>
+    in.mapPartitions { it =>
       val ss = bS.value
+      val idx = bIdx.value
       it.flatMap { r =>
-        val p = V3.fromLatLngDegrees(r.getDouble(1), r.getDouble(2))
-        // small shape sets: exact scan with a bounded insertion list
+        val lat = r.getDouble(1); val lng = r.getDouble(2)
+        val p = V3.fromLatLngDegrees(lat, lng)
+        // bounded insertion list ordered by (dist2, shape_id) — already
+        // the final ranking, so ranks are emitted locally (no window)
         val best = new java.util.TreeMap[(Double, Int), Null](
           Ordering.Tuple2(Ordering.Double.TotalOrdering, Ordering.Int))
-        var i = 0
-        while (i < ss.length) {
-          val d = ss(i).distance2(p)
+        def consider(si: Int): Unit = {
+          val d = ss(si).distance2(p)
           if (d <= maxDist2) {
-            best.put((d, ss(i).id), null)
-            if (best.size > k) best.pollLastEntry()
+            best.put((d, ss(si).id), null)
+            if (best.size > k) { best.pollLastEntry(); () }
           }
-          i += 1
+        }
+        if (idx != null) {
+          val cand = idx.labelsContaining(
+            S2CellId.orderKey(S2CellId.fromLatLngDegrees(lat, lng)))
+          var i = 0
+          while (i < cand.length) { consider(cand(i)); i += 1 }
+        } else {
+          var i = 0
+          while (i < ss.length) { consider(i); i += 1 }
         }
         val id = r.get(0)
-        best.keySet().asScala.iterator
-          .map { case (d, sid) => Row(id, sid, d) }
+        var rank = 0
+        best.keySet().asScala.iterator.map { case (d, sid) =>
+          rank += 1; Row(id, sid, d, rank)
+        }
       }
     }(enc)
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy("doc_id").orderBy(col("dist2"), col("shape_id"))
-    partial.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
   }
 
   /** Scalar distance column: squared chord from (lat,lng) to the closest

@@ -75,28 +75,54 @@ object TextAnalysis {
 
   /** Deterministic language-ID kernel: score = stopword hits per language
     * (weighted by marker rarity rank), ties → lexicographically smallest
-    * code; no hits → "und" (undetermined). */
-  private val langIdUdf = udf { (text: String) =>
+    * code; no hits → "und" (undetermined). Scores are INTEGER (per-hit
+    * weight 100 + (12 - rank), i.e. the old 1.0 + (12-rank)*0.01 scaled by
+    * 100 — identical ordering) so the scoring is bit-exact across engines
+    * and the DuckDB oracle can replicate it. */
+  private[operators] def langIdKernel(text: String): String =
     if (text == null || text.isEmpty) "und"
     else {
       val words = text.toLowerCase.split("[^\\p{L}]+").filter(_.nonEmpty)
       if (words.isEmpty) "und"
       else {
-        var best = "und"; var bestScore = 0.0
+        var best = "und"; var bestScore = 0L
         for ((lang, markers) <- langMarkers.toSeq.sortBy(_._1)) {
           val set = markers.zipWithIndex.toMap
-          var score = 0.0
+          var score = 0L
           words.foreach { w =>
-            set.get(w).foreach(rank => score += 1.0 + (12 - rank) * 0.01)
+            set.get(w).foreach(rank => score += 100 + (12 - rank))
           }
           if (score > bestScore) { best = lang; bestScore = score }
         }
         best
       }
     }
-  }
+
+  private val langIdUdf = udf { (text: String) => langIdKernel(text) }
 
   def langId(text: Column): Column = langIdUdf(text)
+
+  /** DuckDB SQL: per-language integer score columns + the argmax CASE,
+    * replicating [[langIdKernel]] exactly. Returns (scoreSelectList,
+    * predExpr): embed the scores as columns of a subquery, then apply the
+    * CASE over them. Integer arithmetic → engine-exact. */
+  def langIdSqlParts(textExpr: String): (String, String) = {
+    val words = s"list_filter(string_split_regex(lower($textExpr), '[^\\p{L}]+'), w -> w <> '')"
+    def scoreOf(markers: Array[String]): String = {
+      val cases = markers.zipWithIndex.map { case (m, r) =>
+        s"WHEN '${m}' THEN ${100 + (12 - r)}" }.mkString(" ")
+      s"coalesce(list_sum(list_transform($words, w -> CASE w $cases ELSE 0 END)), 0)"
+    }
+    val sorted = langMarkers.toSeq.sortBy(_._1)
+    val selectList = sorted.map { case (lang, ms) =>
+      s"${scoreOf(ms)} AS s_$lang" }.mkString(", ")
+    val g = sorted.map { case (l, _) => s"s_$l" }.mkString("greatest(", ", ", ")")
+    // langs in sorted order with first-match CASE: on score ties the
+    // lexicographically smallest code wins — same as the kernel's
+    // strict-> fold over sorted langs
+    val arms = sorted.map { case (l, _) => s"WHEN s_$l = $g THEN '$l'" }.mkString(" ")
+    (selectList, s"CASE WHEN $g <= 0 THEN 'und' $arms END")
+  }
 
   // =======================================================================
   // document fingerprinting (winnowing)

@@ -30,7 +30,21 @@ object Validation {
       if (v == -next) return Some("ANTIPODAL_ADJACENT_VERTICES")
       i += 1
     }
-    // self-intersection: any non-adjacent edge pair properly crossing
+    // duplicate NON-adjacent vertices: the reference rejects any repeated
+    // vertex (S2Loop::FindValidationError via FindSelfIntersection — two
+    // edges sharing an endpoint that are not adjacent). Checking vertex
+    // multiset equality here also subsumes the EdgeOrVertexCrossing case
+    // for non-adjacent edge pairs: with all vertices distinct, two
+    // non-adjacent edges cannot meet at a shared vertex, so the proper-
+    // crossing test below is sufficient for the remaining pairs.
+    val seen = new java.util.HashSet[(Double, Double, Double)](vertices.length * 2)
+    var vi = 0
+    while (vi < vertices.length) {
+      val v = vertices(vi)
+      if (!seen.add((v.x, v.y, v.z))) return Some("DUPLICATE_VERTICES")
+      vi += 1
+    }
+    // self-intersection: any non-adjacent edge pair properly crossing.
     val n = vertices.length
     var a = 0
     while (a < n) {
@@ -50,11 +64,37 @@ object Validation {
     None
   }
 
+  /** Cross-loop audit: boundary edges of distinct loops must not properly
+    * cross (reference S2Polygon::FindValidationError; the full shell/hole
+    * nesting hierarchy is computed by [[graft.operators.Nesting]]). */
+  def validateLoopPair(a: Array[V3], b: Array[V3]): Option[String] = {
+    var i = 0
+    while (i < a.length) {
+      val a2 = a((i + 1) % a.length)
+      var j = 0
+      while (j < b.length) {
+        if (S2EdgeCrossings.crossingSign(a(i), a2, b(j), b((j + 1) % b.length)) > 0)
+          return Some("LOOP_CROSSING")
+        j += 1
+      }
+      i += 1
+    }
+    None
+  }
+
   def validatePolygonText(text: String): Option[String] =
     try {
       val poly = S2TextFormat.parsePolygon(text)
-      poly.loops.iterator.map(l => validateLoop(l.vertices))
+      val perLoop = poly.loops.iterator.map(l => validateLoop(l.vertices))
         .collectFirst { case Some(err) => err }
+      perLoop.orElse {
+        val ls = poly.loops
+        (for {
+          i <- ls.indices.iterator
+          j <- (i + 1 until ls.length).iterator
+          err <- validateLoopPair(ls(i).vertices, ls(j).vertices)
+        } yield err).nextOption()
+      }
     } catch { case e: Exception => Some("PARSE_ERROR") }
 
   private val validateUdf = udf { (text: String) =>
