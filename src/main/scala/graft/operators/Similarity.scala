@@ -6,27 +6,45 @@ import org.apache.spark.sql.functions._
 /** Approximate-nearest-neighbor search over embedding columns
   * (`array<float>`): brute-force cosine top-k as the exact baseline, and a
   * sign-random-projection (hyperplane LSH) bucketed variant as the scale
-  * path. All arithmetic is double-precision SQL expressions with a fixed
-  * left-to-right summation order — deterministic across runs and engines.
+  * path.
+  *
+  * All arithmetic is double-precision with a fixed left-to-right summation
+  * order — deterministic across runs and engines (the DuckDB oracle's
+  * `list_sum(list_transform(...))` evaluates the identical IEEE sequence).
+  * The kernels are Scala UDFs, not higher-order-function expression
+  * chains: interpreted HOFs are the documented ~15-50x hot-path cliff
+  * (same move as Dedup.bandKeysKernel).
   */
 object Similarity {
 
-  /** Deterministic fold dot product of two float-array columns (cast to
+  /** Deterministic fold dot product kernel of two float vectors (cast to
     * double element-wise, summed in index order). */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+  private def dotKernel(a: Seq[Float], b: Seq[Float]): Double = {
+    val n = math.min(a.length, b.length)
+    var s = 0.0
+    var i = 0
+    while (i < n) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+    s
+  }
+
+  private val dotUdf = udf { (a: Seq[Float], b: Seq[Float]) => dotKernel(a, b) }
+  private val cosineUdf = udf { (a: Seq[Float], b: Seq[Float]) =>
+    val d = math.sqrt(dotKernel(a, a)) * math.sqrt(dotKernel(b, b))
+    if (d == 0) 0.0 else dotKernel(a, b) / d
+  }
+
+  def dot(a: Column, b: Column): Column = dotUdf(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  def cosine(a: Column, b: Column): Column = {
-    val d = norm(a) * norm(b)
-    when(d === 0, lit(0.0)).otherwise(dot(a, b) / d)
-  }
+  /** Cosine similarity; 0 when either norm is 0 (matches the oracle's
+    * dot / (sqrt(naa) * sqrt(nbb)) expression order exactly). */
+  def cosine(a: Column, b: Column): Column = cosineUdf(a, b)
 
   /** Exact brute-force top-k: for each query (small side, broadcast), the
     * k most-cosine-similar rows. Plan: broadcast nested loop over the big
-    * table (narrow), then partial top-k per partition via window. Ties
+    * table (narrow), then global top-k per query via window (the shuffled
+    * set is already scored — ≤ rows×queries scalar rows, no vectors). Ties
     * break by id ascending. */
   def bruteForceTopK(data: DataFrame, idCol: String, vecCol: String,
                      queries: DataFrame, qidCol: String, qvecCol: String,
@@ -35,6 +53,7 @@ object Similarity {
     val joined = data.select(col(idCol).as("id"), col(vecCol).as("v"))
       .crossJoin(broadcast(queries.select(col(qidCol).as("qid"), col(qvecCol).as("qv"))))
       .withColumn("score", cosine(col("v"), col("qv")))
+      .select("qid", "id", "score") // drop vectors before the shuffle
     val w = Window.partitionBy("qid").orderBy(col("score").desc, col("id"))
     joined.withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
@@ -42,15 +61,48 @@ object Similarity {
   }
 
   /** Deterministic pseudo-random hyperplane component: plane `p`,
-    * dimension `i` → uniform in [-1, 1). Engine-independent (xxhash64). */
-  private def planeComponent(p: Int, i: Column): Column =
-    (shiftrightunsigned(xxhash64(lit(p), i), 11).cast("double") /
-      lit(4503599627370496.0)) - lit(1.0) // 2^52
+    * dimension `i` → uniform in [-1, 1). splitmix64-style finalizer over
+    * the packed (plane, dim) key — engine/run-independent. */
+  private def planeComponent(plane: Int, i: Int): Double = {
+    var z = (plane.toLong << 32) ^ (i.toLong & 0xFFFFFFFFL)
+    z += -7046029254386353131L // splitmix64 gamma
+    z = (z ^ (z >>> 30)) * -4658895280553007687L
+    z = (z ^ (z >>> 27)) * -7723592293110705685L
+    z ^= (z >>> 31)
+    ((z >>> 11).toDouble / 4503599627370496.0) - 1.0 // 2^52
+  }
 
-  /** Sign-random-projection bucket id: `nPlanes` sign bits packed into a
-    * long. Rows in the same bucket are likely-similar (cosine LSH). */
+  /** All `tables` SRP bucket ids of a vector in one pass: bucket(t) packs
+    * `nPlanes` sign bits of projections onto planes seeded (t, p). */
+  private val srpBucketsKernel = udf { (vec: Seq[Float], nPlanes: Int, tables: Int) =>
+    val n = vec.length
+    val out = new Array[Long](tables)
+    var t = 0
+    while (t < tables) {
+      var bits = 0L
+      var p = 0
+      while (p < nPlanes) {
+        val seed = t * nPlanes + p
+        var proj = 0.0
+        var i = 0
+        while (i < n) { proj += vec(i).toDouble * planeComponent(seed, i); i += 1 }
+        if (proj >= 0) bits |= (1L << p)
+        p += 1
+      }
+      out(t) = bits
+      t += 1
+    }
+    out
+  }
+
+  /** Sign-random-projection bucket id for a single table (column form). */
   def srpBucket(vec: Column, nPlanes: Int): Column =
-    srpBucketSeeded(vec, nPlanes, 0)
+    srpBucketsKernel(vec, lit(nPlanes), lit(1)).getItem(0)
+
+  /** (table, bucket) struct rows for a vector — explode for the LSH
+    * equi-join. */
+  private def tableBuckets(vec: Column, nPlanes: Int, tables: Int): Column =
+    srpBucketsKernel(vec, lit(nPlanes), lit(tables))
 
   /** ANN top-k via SRP-LSH with multi-probe: queries match data in any of
     * `tables` independent hash tables; candidates then ranked by exact
@@ -61,15 +113,11 @@ object Similarity {
               queries: DataFrame, qidCol: String, qvecCol: String,
               k: Int, nPlanes: Int = 12, tables: Int = 4): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    // per-table decorrelation via distinct plane seeds (table*nPlanes + p)
-    def withBucketsSeeded(df: DataFrame, vc: String): DataFrame =
-      df.withColumn("_tb", explode(array((0 until tables).map { t =>
-        struct(lit(t).as("t"), srpBucketSeeded(col(vc), nPlanes, t).as("b"))
-      }.toIndexedSeq: _*)))
-
-    val d = withBucketsSeeded(data.select(col(idCol).as("id"), col(vecCol).as("v")), "v")
-    val q = withBucketsSeeded(queries.select(col(qidCol).as("qid"), col(qvecCol).as("qv")), "qv")
-    val cands = d.join(broadcast(q), "_tb")
+    def withBuckets(df: DataFrame, vc: String): DataFrame =
+      df.select(col("*"), posexplode(tableBuckets(col(vc), nPlanes, tables)).as(Seq("_t", "_b")))
+    val d = withBuckets(data.select(col(idCol).as("id"), col(vecCol).as("v")), "v")
+    val q = withBuckets(queries.select(col(qidCol).as("qid"), col(qvecCol).as("qv")), "qv")
+    val cands = d.join(broadcast(q), Seq("_t", "_b"))
       .select("qid", "id", "v", "qv").distinct()
       .withColumn("score", cosine(col("v"), col("qv")))
     val w = Window.partitionBy("qid").orderBy(col("score").desc, col("id"))
@@ -78,28 +126,16 @@ object Similarity {
       .select("qid", "id", "score", "rank")
   }
 
-  private def srpBucketSeeded(vec: Column, nPlanes: Int, table: Int): Column =
-    (0 until nPlanes).map { p =>
-      val seed = table * nPlanes + p
-      val proj = aggregate(
-        zip_with(vec, sequence(lit(0), size(vec) - 1),
-          (x, i) => x.cast("double") * planeComponent(seed, i)),
-        lit(0.0), (acc, v) => acc + v)
-      when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
-    }.reduce(_ + _)
-
   /** Embedding-cosine near-duplicate pairs: all pairs with cosine ≥
     * threshold, candidates from SRP buckets (equi-join), exact verify. */
   def cosineNearDupPairs(data: DataFrame, idCol: String, vecCol: String,
                          threshold: Double, nPlanes: Int = 8,
                          tables: Int = 4): DataFrame = {
     val withB = data.select(col(idCol).as("id"), col(vecCol).as("v"))
-      .withColumn("_tb", explode(array((0 until tables).map { t =>
-        struct(lit(t).as("t"), srpBucketSeeded(col("v"), nPlanes, t).as("b"))
-      }.toIndexedSeq: _*)))
-    val a = withB.select(col("_tb"), col("id").as("id_a"), col("v").as("v_a"))
-    val b = withB.select(col("_tb"), col("id").as("id_b"), col("v").as("v_b"))
-    a.join(b, "_tb")
+      .select(col("*"), posexplode(tableBuckets(col("v"), nPlanes, tables)).as(Seq("_t", "_b")))
+    val a = withB.select(col("_t"), col("_b"), col("id").as("id_a"), col("v").as("v_a"))
+    val b = withB.select(col("_t"), col("_b"), col("id").as("id_b"), col("v").as("v_b"))
+    a.join(b, Seq("_t", "_b"))
       .where(col("id_a") < col("id_b"))
       .select("id_a", "id_b", "v_a", "v_b").distinct()
       .withColumn("cosine", cosine(col("v_a"), col("v_b")))
