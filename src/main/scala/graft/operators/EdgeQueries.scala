@@ -134,6 +134,52 @@ object EdgeQueries {
     }(enc)
   }
 
+  /** Certified within-distance join: (doc, shape_id) for every shape whose
+    * distance to the doc point is <= r2 (squared chord), decided by the
+    * EXACT predicate ladder (S2DistancePredicates.compareEdgeDistance —
+    * reference CompareEdgeDistance, s2predicates.h:123-135, the predicate
+    * behind S2ClosestEdgeQuery::IsConservativeDistanceLessOrEqual). Unlike
+    * [[closestShapesJoin]]'s double kernel, points exactly on the distance
+    * boundary are classified exactly, bit-matching the reference. Narrow
+    * map, no shuffle; per-row cost is one double triage per edge with the
+    * BigDecimal tier only on certified-uncertain boundaries. */
+  def exactWithinDistanceJoin(docs: DataFrame, shapes: Seq[Shape], r2: Double,
+                              idCol: String = "doc_id",
+                              latCol: String = "lat", lngCol: String = "lng"): DataFrame = {
+    val bS = docs.sparkSession.sparkContext.broadcast(shapes.toArray)
+    val in = docs.select(col(idCol), col(latCol).cast("double"), col(lngCol).cast("double"))
+    val outSchema = StructType(Seq(
+      in.schema.fields(0).copy(name = "doc_id"),
+      StructField("shape_id", IntegerType, nullable = false)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
+    in.mapPartitions { it =>
+      val ss = bS.value
+      it.flatMap { r =>
+        val p = V3.fromLatLngDegrees(r.getDouble(1), r.getDouble(2))
+        val id = r.get(0)
+        ss.iterator.filter { sh =>
+          if (sh.closed && sh.loop.contains(p)) true
+          else {
+            val vs = sh.vertices
+            val n = vs.length
+            var within = false
+            if (n == 1) within = S2DistancePredicates.compareDistance(p, vs(0), r2) <= 0
+            else {
+              val last = if (sh.closed) n else n - 1
+              var i = 0
+              while (i < last && !within) {
+                within = S2DistancePredicates.compareEdgeDistance(
+                  p, vs(i), vs(if (i + 1 == n) 0 else i + 1), r2) <= 0
+                i += 1
+              }
+            }
+            within
+          }
+        }.map(sh => Row(id, sh.id))
+      }
+    }(enc)
+  }
+
   /** Scalar distance column: squared chord from (lat,lng) to the closest
     * of the given shapes (Double.MaxValue when shapes empty). */
   def distanceToShapes(docs: DataFrame, shapes: Seq[Shape],

@@ -71,6 +71,47 @@ class EdgeAggSpec extends AnyFunSuite {
     inside.foreach { case (id, _, _) => assert(gotMap((id, 2)) == 0.0) }
   }
 
+  test("covering-prefiltered closest-shapes join = brute force at 1000 shapes") {
+    val rnd = new scala.util.Random(7)
+    val shapes = (0 until 1000).map { i =>
+      val lat = rnd.nextDouble() * 160 - 80
+      val lng = rnd.nextDouble() * 350 - 175
+      EdgeQueries.Shape(i, Array(V3.fromLatLngDegrees(lat, lng),
+        V3.fromLatLngDegrees(lat + 1.5, lng + 2.0)), closed = false)
+    }
+    val maxD2 = S1ChordAngle.fromRadians(0.05)
+    def run(threshold: Int) =
+      EdgeQueries.closestShapesJoin(docs, shapes, k = 3, maxDist2 = maxD2,
+        prefilterFrom = threshold)
+        .select("doc_id", "shape_id", "dist2", "rank").collect()
+        .map(r => (r.getString(0), r.getInt(1), r.getDouble(2), r.getInt(3))).toSet
+    val pre = run(64)            // prefilter active (1000 >= 64)
+    val brute = run(Int.MaxValue) // linear scan
+    assert(pre == brute)
+    assert(pre.nonEmpty)
+  }
+
+  test("exact within-distance join certifies boundary points the double kernel can miss") {
+    import spark.implicits._
+    val shapes = Seq(EdgeQueries.Shape(1, Array(
+      V3.fromLatLngDegrees(0, 0), V3.fromLatLngDegrees(0, 30)), closed = false))
+    // (0, 3) lies EXACTLY on the edge's great circle (z = sin(0) = 0) and
+    // between the endpoints -> exact distance 0; (0.5, 3) does not
+    val pts = Seq(("on", 0.0, 3.0), ("off", 0.5, 3.0)).toDF("doc_id", "lat", "lng")
+    val got = EdgeQueries.exactWithinDistanceJoin(pts, shapes, r2 = 0.0)
+      .select("doc_id").collect().map(_.getString(0)).toSet
+    assert(got == Set("on"))
+    // away from boundaries the exact join agrees with the double kernel
+    val r2 = 0.01
+    val exact = EdgeQueries.exactWithinDistanceJoin(docs, shapes, r2)
+      .select("doc_id", "shape_id").collect()
+      .map(r => (r.getString(0), r.getInt(1))).toSet
+    val kernel = EdgeQueries.closestShapesJoin(docs, shapes, k = 1, maxDist2 = r2)
+      .select("doc_id", "shape_id").collect()
+      .map(r => (r.getString(0), r.getInt(1))).toSet
+    assert(exact == kernel)
+  }
+
   test("cell union aggregator merges group coverings; bound and centroid aggs are sane") {
     import org.apache.spark.sql.functions._
     // per-cluster covering union at level 8

@@ -74,6 +74,38 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
+  test("closest-shapes join is a pure narrow map: zero exchanges") {
+    val docs = S2Joins.withCellId(spark.read.parquet(docsPath), col("lat"), col("lng"))
+    val shapes = Seq(
+      EdgeQueries.Shape(1, Array(V3.fromLatLngDegrees(0, 0),
+        V3.fromLatLngDegrees(0, 30)), closed = false),
+      EdgeQueries.Shape(2, Array(V3.fromLatLngDegrees(40, 40),
+        V3.fromLatLngDegrees(50, 60)), closed = false))
+    val joined = EdgeQueries.closestShapesJoin(docs, shapes, k = 2, maxDist2 = 0.05)
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+    assert(!plan.contains("Window"), plan) // rank emitted in the flatMap
+  }
+
+  test("salted term join still plans as a single equi-join (no BNLJ)") {
+    import spark.implicits._
+    val docs = S2Joins.withCellId(spark.read.parquet(docsPath), col("lat"), col("lng"))
+    val indexer = new S2TermIndexer()
+    val docTerms = S2Joins.docIndexTerms(docs, indexer)
+    val hot = Skew.hotTerms(docTerms, "term", threshold = 50)
+    val polys = Seq((1, "0:0, 0:35, 30:35, 30:0")).toDF("qid", "poly")
+    val queryTermsUdf = udf { (text: String) =>
+      indexer.queryTerms(graft.functions.PolyCache.get(text)) }
+    val q = polys.select(col("qid"),
+      explode(queryTermsUdf(col("poly"))).as("term"))
+    val joined = Skew.saltedTermJoin(docTerms, q, "term", col("doc_id"), hot)
+    joined.collect()
+    val plan = joined.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert("Join".r.findAllIn(plan).length >= 1, plan)
+  }
+
   test("exact dedup groupBy hashes small keys, not text") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val plan = Dedup.exactDuplicates(docs, "doc_id", "text")
