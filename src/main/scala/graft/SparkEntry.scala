@@ -48,6 +48,12 @@ object SparkEntry {
     (2, 10.005, -80.005, 60.005, -10.005),
     (3, -84.005, -179.995, -40.005, 20.005),
     (4, 30.005, 60.005, 75.005, 150.005))
+  // convex CCW quad overlapping P1 (lat 5-40, lng 10-60; same .005-offset
+  // guarantee) — operand B of the boolean-operation query
+  private val P3: Array[V3] = Array(
+    V3.fromLatLngDegrees(5.005, 10.005), V3.fromLatLngDegrees(5.005, 60.005),
+    V3.fromLatLngDegrees(40.005, 60.005), V3.fromLatLngDegrees(40.005, 10.005))
+
   private val knnTargets = Seq(
     1 -> V3(0.9254165783983234, 0.33682408883346515, 0.17364817766693033),
     2 -> V3(-0.696364240320019, 0.1227878039689728, -0.7071067811865475),
@@ -172,6 +178,25 @@ object SparkEntry {
       val polys = Seq((1, "0.005:0.005, 0.005:35.005, 30.005:35.005, 30.005:0.005")).toDF("qid", "poly")
       S2Joins.termPolygonJoin(docsGeo(s, dir), polys)
         .groupBy(col("qid"))
+        .agg(count(lit(1)).as("cnt"), sum("doc_id").as("sum_id"))
+    }),
+
+    "q_s2_bool_op" -> ((s, dir) => {
+      // S2BooleanOperation: materialize union/intersection/difference/
+      // symmetric-difference polygons of P1 and P3, then classify docs
+      // against the RESULT geometry (covering + PIP). The oracle computes
+      // the same sets as boolean combinations of the convex half-space
+      // tests — exact because result boundaries are subsets of input
+      // edges, all .005-offset from the doc grid.
+      val pa = new S2Polygon(Array(S2Loop(P1)))
+      val pb = new S2Polygon(Array(S2Loop(P3)))
+      val ops: Seq[(Int, S2Region)] = Seq(
+        1 -> S2BooleanOps.union(pa, pb),
+        2 -> S2BooleanOps.intersection(pa, pb),
+        3 -> S2BooleanOps.difference(pa, pb),
+        4 -> S2BooleanOps.symmetricDifference(pa, pb))
+      S2Joins.broadcastContainsJoin(docsGeo(s, dir), ops)
+        .groupBy(col("qid").as("op_id"))
         .agg(count(lit(1)).as("cnt"), sum("doc_id").as("sum_id"))
     }),
 
@@ -540,6 +565,17 @@ object SparkEntry {
         ON (p.x-t.tx)*(p.x-t.tx) + (p.y-t.ty)*(p.y-t.ty) + (p.z-t.tz)*(p.z-t.tz)
            <= $withinDistR2
         GROUP BY t.qid""",
+
+      "q_s2_bool_op" -> s"""
+        SELECT op_id, count(*) AS cnt, CAST(sum(doc_id) AS BIGINT) AS sum_id FROM (
+          SELECT 1 AS op_id, doc_id FROM $docsXyzSql p WHERE (${pipWhere(P1)}) OR (${pipWhere(P3)})
+          UNION ALL
+          SELECT 2 AS op_id, doc_id FROM $docsXyzSql p WHERE (${pipWhere(P1)}) AND (${pipWhere(P3)})
+          UNION ALL
+          SELECT 3 AS op_id, doc_id FROM $docsXyzSql p WHERE (${pipWhere(P1)}) AND NOT (${pipWhere(P3)})
+          UNION ALL
+          SELECT 4 AS op_id, doc_id FROM $docsXyzSql p WHERE (${pipWhere(P1)}) <> (${pipWhere(P3)}))
+        GROUP BY op_id""",
 
       "q_s2_cell_tokens" -> s"""
         SELECT d.doc_id, v.leaf_token, v.l10_token,

@@ -103,14 +103,34 @@ final class S2Polygon(val loops: Array[S2Loop]) extends S2Region {
     anyBoundaryIntersects(cell)
   }
 
-  /** Sum of loop areas with hole-parity signs. */
+  /** Nesting depth parity of each loop: +1 for shells (even depth), -1
+    * for holes (odd depth), computed by counting the other loops whose
+    * interior contains a representative vertex (valid nested polygons
+    * only; representative vertices are never on another loop's boundary
+    * for valid inputs). */
+  lazy val loopSigns: Array[Int] = loops.map { l =>
+    if (l.numVertices == 0) 1
+    else {
+      val rep = l.vertex(0)
+      var depth = 0
+      for (o <- loops if o ne l)
+        if (o.bound.contains(rep) && o.bruteForceContains(rep)) depth += 1
+      if (depth % 2 == 0) 1 else -1
+    }
+  }
+
+  /** Area of the region (parity semantics): Σ (-1)^depth · |loop|.
+    * Loops stored inverted (area > 2π) contribute their complement with
+    * the opposite sign, so a single inverted loop still measures its
+    * written region. */
   def area: Double = {
     var total = 0.0
-    for (loop <- loops) {
-      val a = loop.area
-      // Loops enclosing more than half the sphere are holes-as-written;
-      // parity handles signs through the area complement.
-      total += (if (a <= 2 * math.Pi) a else -(4 * math.Pi - a))
+    var i = 0
+    while (i < loops.length) {
+      val a = loops(i).area
+      val (m, flip) = if (a <= 2 * math.Pi) (a, 1) else (4 * math.Pi - a, -1)
+      total += loopSigns(i) * flip * m
+      i += 1
     }
     math.abs(total)
   }

@@ -1,0 +1,130 @@
+package graft.core
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Validation of the S2BooleanOperation core: pointwise set semantics
+  * (the strongest possible oracle — result.contains(p) must equal the
+  * boolean combination of the input containments for every sampled point),
+  * area identities, and structural expectations on known configurations
+  * (reference semantics: s2boolean_operation.h:211-232 Polygon model). */
+class S2BooleanOpsSpec extends AnyFunSuite {
+
+  private def poly(text: String): S2Polygon = S2TextFormat.parsePolygon(text)
+
+  private val A = poly("0:0, 0:10, 10:10, 10:0")
+  private val Bover = poly("5:5, 5:15, 15:15, 15:5")     // overlaps A
+  private val Bdisj = poly("40:40, 40:50, 50:50, 50:40") // disjoint from A
+  private val Bin = poly("2:2, 2:8, 8:8, 8:2")           // contained in A
+
+  private def samplePoints(n: Int, seed: Int): Seq[V3] = {
+    val rnd = new scala.util.Random(seed)
+    (0 until n).map { _ =>
+      V3.fromLatLngDegrees(rnd.nextDouble() * 60 - 20, rnd.nextDouble() * 60 - 20)
+    }
+  }
+
+  private def checkPointwise(a: S2Polygon, b: S2Polygon): Unit = {
+    val inter = S2BooleanOps.intersection(a, b)
+    val uni = S2BooleanOps.union(a, b)
+    val diff = S2BooleanOps.difference(a, b)
+    val symm = S2BooleanOps.symmetricDifference(a, b)
+    for (p <- samplePoints(4000, 42)) {
+      val ia = a.contains(p); val ib = b.contains(p)
+      assert(inter.contains(p) == (ia && ib), s"inter at $p")
+      assert(uni.contains(p) == (ia || ib), s"union at $p")
+      assert(diff.contains(p) == (ia && !ib), s"diff at $p")
+      assert(symm.contains(p) == (ia ^ ib), s"symm at $p")
+    }
+    // area identities (Gauss-Bonnet areas, loose FP tolerance)
+    val eps = 1e-9
+    assert(math.abs(inter.area + uni.area - (a.area + b.area)) < eps)
+    assert(math.abs(diff.area - (a.area - inter.area)) < eps)
+    assert(math.abs(symm.area - (a.area + b.area - 2 * inter.area)) < eps)
+  }
+
+  test("overlapping squares: pointwise semantics + area identities") {
+    checkPointwise(A, Bover)
+  }
+
+  test("disjoint squares: union keeps both, intersection empty") {
+    checkPointwise(A, Bdisj)
+    assert(S2BooleanOps.intersection(A, Bdisj).isEmpty)
+    assert(S2BooleanOps.union(A, Bdisj).numLoops == 2)
+  }
+
+  test("contained square: difference punches a hole") {
+    checkPointwise(A, Bin)
+    val diff = S2BooleanOps.difference(A, Bin)
+    assert(diff.numLoops == 2) // shell + hole
+    assert(math.abs(diff.area - (A.area - Bin.area)) < 1e-12)
+    assert(math.abs(S2BooleanOps.intersection(A, Bin).area - Bin.area) < 1e-12)
+    assert(math.abs(S2BooleanOps.union(A, Bin).area - A.area) < 1e-12)
+  }
+
+  test("empty operand identities") {
+    val e = S2Polygon.empty
+    assert(S2BooleanOps.union(A, e).area == A.area)
+    assert(S2BooleanOps.union(e, A).area == A.area)
+    assert(S2BooleanOps.intersection(A, e).isEmpty)
+    assert(S2BooleanOps.difference(e, A).isEmpty)
+    assert(math.abs(S2BooleanOps.difference(A, e).area - A.area) < 1e-15)
+  }
+
+  test("commutativity / self-consistency of union and intersection") {
+    for (b <- Seq(Bover, Bdisj, Bin); p <- samplePoints(500, 7)) {
+      assert(S2BooleanOps.union(A, b).contains(p) ==
+        S2BooleanOps.union(b, A).contains(p))
+      assert(S2BooleanOps.intersection(A, b).contains(p) ==
+        S2BooleanOps.intersection(b, A).contains(p))
+    }
+  }
+
+  test("multi-loop operand: polygon with hole intersected with overlapping square") {
+    // A2 = big square with central hole. Parity model: every loop stored
+    // normalized (small interior, CCW); nesting depth makes it a hole.
+    val shell = S2TextFormat.parsePoints("0:0, 0:20, 20:20, 20:0")
+    val hole = S2TextFormat.parsePoints("8:8, 8:12, 12:12, 12:8")
+    val a2 = new S2Polygon(Array(S2Loop(shell), S2Loop(hole)))
+    val b2 = poly("5:5, 5:25, 15:25, 15:5")
+    val inter = S2BooleanOps.intersection(a2, b2)
+    val uni = S2BooleanOps.union(a2, b2)
+    val diff = S2BooleanOps.difference(a2, b2)
+    for (p <- samplePoints(4000, 99)) {
+      val ia = a2.contains(p); val ib = b2.contains(p)
+      assert(inter.contains(p) == (ia && ib), s"inter at $p")
+      assert(uni.contains(p) == (ia || ib), s"union at $p")
+      assert(diff.contains(p) == (ia && !ib), s"diff at $p")
+    }
+  }
+
+  test("getIntersection: equator x meridian crossing is (1,0,0) to within kIntersectionError") {
+    val p = S2EdgeIntersections.getIntersection(
+      V3.fromLatLngDegrees(0, -10), V3.fromLatLngDegrees(0, 10),
+      V3.fromLatLngDegrees(-10, 0), V3.fromLatLngDegrees(10, 0))
+    assert(p.angle(V3(1, 0, 0)) <= S2EdgeIntersections.IntersectionErrorRadians)
+    assert(math.abs(p.norm - 1.0) < 1e-14)
+  }
+
+  test("getIntersection is edge-order invariant and on both edges") {
+    val rnd = new scala.util.Random(3)
+    for (_ <- 0 until 200) {
+      val lat = rnd.nextDouble() * 120 - 60
+      val lng = rnd.nextDouble() * 300 - 150
+      val a0 = V3.fromLatLngDegrees(lat - 5, lng)
+      val a1 = V3.fromLatLngDegrees(lat + 5, lng + 0.3)
+      val b0 = V3.fromLatLngDegrees(lat, lng - 5)
+      val b1 = V3.fromLatLngDegrees(lat + 0.3, lng + 5)
+      if (S2EdgeCrossings.crossingSign(a0, a1, b0, b1) > 0) {
+        val p1 = S2EdgeIntersections.getIntersection(a0, a1, b0, b1)
+        val p2 = S2EdgeIntersections.getIntersection(b0, b1, a0, a1)
+        val p3 = S2EdgeIntersections.getIntersection(a1, a0, b1, b0)
+        assert(p1 == p2 && p1 == p3, "swap/reverse invariance")
+        // within kIntersectionError of both edges
+        val err = S1ChordAngle.fromRadians(
+          S2EdgeIntersections.IntersectionErrorRadians * 1.001)
+        assert(S2EdgeDistances.distance2(p1, a0, a1) <= err)
+        assert(S2EdgeDistances.distance2(p1, b0, b1) <= err)
+      }
+    }
+  }
+}
