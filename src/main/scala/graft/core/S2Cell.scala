@@ -5,7 +5,8 @@ package graft.core
 final class S2Cell private (val id: Long, val face: Int, val level: Int,
                             val orientation: Int,
                             val uLo: Double, val uHi: Double,
-                            val vLo: Double, val vHi: Double) {
+                            val vLo: Double, val vHi: Double)
+    extends Serializable {
   import S2Coords._
 
   /** Vertex k (CCW order: lower-left, lower-right, upper-right,

@@ -76,19 +76,31 @@ object RegionJoins {
   def leafCellsCovered(a: Column): Column = leafCountUdf(a)
   def unionExactArea(a: Column): Column = exactAreaUdf(a)
 
-  /** Directed Hausdorff distance (squared chord) from chain A to chain B:
-    * max over A's vertices of the min distance to B
-    * (S2HausdorffDistanceQuery semantics over vertex-sampled chains,
-    * /root/reference/src/s2/s2hausdorff_distance_query.h:38-61). */
+  /** Directed Hausdorff distance (squared chord) from chain A to chain B —
+    * S2HausdorffDistanceQuery.GetDirectedDistance over open chains. This
+    * IS the reference's formulation: its directed distance is the max over
+    * target VERTICES of the closest-edge distance
+    * (s2hausdorff_distance_query.cc:111-122, "this approximation of
+    * Hausdorff distance"). */
   val directedHausdorffUdf = udf {
     (aLat: Seq[Double], aLng: Seq[Double], bLat: Seq[Double], bLng: Seq[Double]) =>
+      val av = aLat.zip(aLng).map { case (la, ln) => V3.fromLatLngDegrees(la, ln) }.toArray
       val bv = bLat.zip(bLng).map { case (la, ln) => V3.fromLatLngDegrees(la, ln) }.toArray
-      var worst = 0.0
-      aLat.zip(aLng).foreach { case (la, ln) =>
-        val p = V3.fromLatLngDegrees(la, ln)
-        val d = S2EdgeDistances.distanceToChain2(p, bv, closed = false)
-        if (d > worst) worst = d
-      }
-      worst
+      val d = S2Hausdorff.directedDistance2(
+        IndexedSeq(S2Hausdorff.Chain(av, closed = false)),
+        IndexedSeq(S2Hausdorff.Chain(bv, closed = false)),
+        includeInteriors = false)
+      if (d == Double.PositiveInfinity) -1.0 else d
+  }
+
+  /** Undirected Hausdorff distance (squared chord) between two polygon
+    * texts, interiors included (S2HausdorffDistanceQuery.GetDistance). */
+  val polygonHausdorffUdf = udf { (aText: String, bText: String) =>
+    def chains(p: S2Polygon): IndexedSeq[S2Hausdorff.Chain] =
+      p.loops.map(l => S2Hausdorff.Chain(l.vertices, closed = true)).toIndexedSeq
+    val d = S2Hausdorff.distance2(
+      chains(graft.functions.PolyCache.get(aText)),
+      chains(graft.functions.PolyCache.get(bText)))
+    if (d == Double.PositiveInfinity) -1.0 else d
   }
 }
