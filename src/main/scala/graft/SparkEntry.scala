@@ -517,6 +517,31 @@ object SparkEntry {
         .agg(count(lit(1)).as("cnt"))
     }),
 
+    "q_geom_repair" -> ((s, dir) => {
+      // snap-rounding repair pipeline: every 11th doc gets a bowtie
+      // (unrepairable), every other 7th a duplicated vertex (snap-repairable),
+      // the rest valid rects. Output: verdict x repaired? counts.
+      val d = docsGeo(s, dir).where(col("doc_id") < 2000)
+        .withColumn("poly",
+          when(col("doc_id") % 11 === 0,
+            format_string("%.2f:%.2f, %.2f:%.2f, %.2f:%.2f, %.2f:%.2f",
+              col("lat"), col("lng"), col("lat") + 1, col("lng") + 1,
+              col("lat"), col("lng") + 1, col("lat") + 1, col("lng")))
+          .when(col("doc_id") % 7 === 0,
+            format_string("%.2f:%.2f, %.2f:%.2f, %.2f:%.2f, %.2f:%.2f, %.2f:%.2f",
+              col("lat"), col("lng"), col("lat"), col("lng") + 1,
+              col("lat"), col("lng") + 1,
+              col("lat") + 1, col("lng") + 1, col("lat") + 1, col("lng")))
+          .otherwise(
+            format_string("%.2f:%.2f, %.2f:%.2f, %.2f:%.2f, %.2f:%.2f",
+              col("lat"), col("lng"), col("lat"), col("lng") + 1,
+              col("lat") + 1, col("lng") + 1, col("lat") + 1, col("lng"))))
+      Snap.withRepair(d, "poly")
+        .groupBy(coalesce(col("geom_error"), lit("VALID")).as("verdict"),
+          col("repaired_poly").isNotNull.as("repaired"))
+        .agg(count(lit(1)).as("cnt"))
+    }),
+
     "q_mercator_tiles" -> ((s, dir) => {
       // raster<->vector: web-mercator z=4 tile assignment over doc points
       val d = docsGeo(s, dir)
@@ -721,6 +746,15 @@ object SparkEntry {
                       ELSE 'VALID' END AS verdict
           FROM documents WHERE doc_id < 2000)
         GROUP BY verdict""",
+
+      "q_geom_repair" -> """
+        SELECT verdict, repaired, count(*) AS cnt FROM (
+          SELECT CASE WHEN doc_id % 11 = 0 THEN 'SELF_INTERSECTION'
+                      WHEN doc_id % 7 = 0 THEN 'DUPLICATE_ADJACENT_VERTICES'
+                      ELSE 'VALID' END AS verdict,
+                 doc_id % 11 <> 0 AS repaired
+          FROM documents WHERE doc_id < 2000)
+        GROUP BY verdict, repaired""",
 
       "q_langid" -> s"""
         SELECT lang, $langPredExpr AS lang_pred, count(*) AS cnt
