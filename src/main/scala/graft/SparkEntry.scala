@@ -287,6 +287,19 @@ object SparkEntry {
         .select("qid", "doc_id", "rank")
     }),
 
+    "q_s2_buffer" -> ((s, dir) => {
+      // S2BufferOperation: expand P1 by 0.5 degrees, classify docs against
+      // the buffered polygon. The oracle states the same set exactly
+      // (inside P1 OR within r of its boundary); the sampled boundary's
+      // 1e-7 rad tolerance vs the sparse doc grid makes a flip
+      // probabilistically impossible.
+      val r = math.toRadians(0.5)
+      val buffered = S2Buffer.bufferPolygon(new S2Polygon(Array(S2Loop(P1))), r, 1e-7)
+      S2Joins.broadcastContainsJoin(docsGeo(s, dir), Seq(1 -> (buffered: S2Region)))
+        .groupBy(col("qid"))
+        .agg(count(lit(1)).as("cnt"), sum("doc_id").as("sum_id"))
+    }),
+
     "q_s2_furthest_edge" -> ((s, dir) => {
       // S2FurthestEdgeQuery: per doc, the single furthest geodesic edge;
       // aggregated per winning edge (ties by shape id — same rule in the
@@ -849,6 +862,15 @@ object SparkEntry {
             s"SELECT $sid AS sid, doc_id FROM $docsXyzSql p WHERE ${edgeDist2Sql(a, b)} <= 0.01"
           }.mkString(" UNION ALL ")})
         GROUP BY sid""",
+
+      "q_s2_buffer" -> {
+        val r2 = S1ChordAngle.fromRadians(math.toRadians(0.5))
+        val edges = P1.indices.map(i =>
+          edgeDist2Sql(P1(i), P1((i + 1) % P1.length)))
+        s"""SELECT 1 AS qid, count(*) AS cnt, CAST(sum(doc_id) AS BIGINT) AS sum_id
+            FROM $docsXyzSql p
+            WHERE (${pipWhere(P1)}) OR least(${edges.mkString(", ")}) <= $r2"""
+      },
 
       "q_s2_furthest_edge" -> s"""
         SELECT sid, count(*) AS cnt, CAST(sum(doc_id) AS BIGINT) AS sum_id FROM (
