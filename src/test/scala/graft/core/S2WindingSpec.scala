@@ -1,0 +1,76 @@
+package graft.core
+
+import org.scalatest.funsuite.AnyFunSuite
+import S2Winding._
+
+/** Winding-number queries: rule semantics over stacked/nested/reversed
+  * rings, and the reference's documented identities (POSITIVE = N-way
+  * union, ODD = N-way symmetric difference;
+  * s2winding_operation.h:107-119). */
+class S2WindingSpec extends AnyFunSuite {
+  private def ring(text: String): Array[V3] = S2TextFormat.parsePoints(text)
+
+  private val sqA = ring("0:0, 0:10, 10:10, 10:0")          // CCW
+  private val sqB = ring("2:2, 2:8, 8:8, 8:2")              // nested in A, CCW
+  private val sqC = ring("40:40, 40:50, 50:50, 50:40")      // disjoint, CCW
+
+  private def pt(lat: Double, lng: Double): V3 = V3.fromLatLngDegrees(lat, lng)
+
+  test("winding numbers: stacks, nesting, reversal") {
+    val rings = Seq(sqA, sqB, sqC)
+    assert(windingNumber(rings, pt(1, 1)) == 1)   // in A only
+    assert(windingNumber(rings, pt(5, 5)) == 2)   // in A and B
+    assert(windingNumber(rings, pt(45, 45)) == 1) // in C
+    assert(windingNumber(rings, pt(30, 30)) == 0) // outside all
+    // a reversed ring subtracts
+    assert(windingNumber(Seq(sqA, sqB.reverse), pt(5, 5)) == 0)
+    assert(windingNumber(Seq(sqA, sqB.reverse), pt(1, 1)) == 1)
+  }
+
+  test("rules: POSITIVE = union, ODD = symmetric difference (identities)") {
+    val rings = Seq(sqA, sqB, sqC)
+    for ((p, inA, inB, inC) <- Seq(
+      (pt(1, 1), true, false, false), (pt(5, 5), true, true, false),
+      (pt(45, 45), false, false, true), (pt(30, 30), false, false, false))) {
+      assert(contains(rings, Positive, p) == (inA || inB || inC))
+      assert(contains(rings, Odd, p) == (inA ^ inB ^ inC))
+      assert(contains(rings, NonZero, p) == (inA || inB || inC)) // all CCW
+    }
+    // NEGATIVE with a reversed ring
+    assert(contains(Seq(sqB.reverse), Negative, pt(5, 5)))
+    assert(!contains(Seq(sqB.reverse), Negative, pt(30, 30)))
+  }
+
+  test("toPolygon materializes the rule region (non-crossing rings)") {
+    val rnd = new scala.util.Random(21)
+    val rings = Seq(sqA, sqB, sqC)
+    for (rule <- Seq[WindingRule](Positive, Odd, NonZero)) {
+      val poly = toPolygon(rings, rule)
+      for (_ <- 0 until 2000) {
+        val p = pt(rnd.nextDouble() * 70 - 10, rnd.nextDouble() * 70 - 10)
+        assert(poly.contains(p) == contains(rings, rule, p),
+          s"$rule at $p")
+      }
+    }
+    // ODD over nested rings = A with hole B, plus C
+    val odd = toPolygon(rings, Odd)
+    assert(odd.numLoops == 3)
+    assert(!odd.contains(pt(5, 5)) && odd.contains(pt(1, 1)))
+  }
+
+  test("toPolygon with multiplicity: doubled ring drops out of ODD, stays in POSITIVE") {
+    val rings = Seq(sqA, sqA.reverse.reverse) // the same ring twice
+    assert(windingNumber(rings, pt(5, 5)) == 2)
+    val odd = toPolygon(rings, Odd)
+    assert(!odd.contains(pt(5, 5))) // even multiplicity vanishes under ODD
+    val pos = toPolygon(rings, Positive)
+    assert(pos.contains(pt(5, 5)))
+  }
+
+  test("toPolygon rejects crossing rings") {
+    val crossing = ring("5:5, 5:15, 15:15, 15:5")
+    assertThrows[IllegalArgumentException] {
+      toPolygon(Seq(sqA, crossing), Positive)
+    }
+  }
+}
