@@ -22,11 +22,16 @@ object Bench {
     "q_s2_tile_assign", "q_s2_term_join", "q_dedup_minhash", "q_ann_topk",
     "q_text_stats")
 
-  private def session(cores: Int): SparkSession = {
+  private def session(cores: Int, aqe: Boolean = true): SparkSession = {
     val s = SparkSession.builder()
       .master(s"local[$cores]")
       .config("spark.sql.shuffle.partitions", cores.toString)
-      .config("spark.sql.adaptive.enabled", "true")
+      // AQE stays ON for the headline queries (it is the production
+      // default) but OFF for the scaling phase: the flagship's only
+      // shuffle is ~|regions|x|tiles| rows, so AQE's runtime re-planning
+      // is pure fixed overhead (~0.2 s/job measured) that 32 cores cannot
+      // amortize — it would be measured as false scaling loss.
+      .config("spark.sql.adaptive.enabled", aqe.toString)
       .config("spark.ui.enabled", "false")
       // driver memory must be sized at JVM launch (local mode); config here
       // would be silently ignored
@@ -52,26 +57,31 @@ object Bench {
     * from an older build is not silently reused. */
   def docsPath(n: Long): String = s"/tmp/graft_bench_docs_${n}_p256"
 
-  /** The flagship three-stage job over the materialized table: ingest
-    * (cell ids) → covering+PIP join (6 regions) → tile assign →
-    * per-(qid,tile) counts. Returns total matched rows. */
-  def pipeline(spark: SparkSession, docsPath: String): Long = {
-    val docs = S2Joins.withCellId(spark.read.parquet(docsPath),
-      col("lat"), col("lng"))
-    val regions: Seq[(Int, S2Region)] = Seq(
-      1 -> S2TextFormat.parsePolygon("0:0, 0:35, 30:35, 30:0"),
-      2 -> S2TextFormat.parsePolygon("-40:-80, -40:-30, -10:-30, -10:-80"),
-      3 -> S2Cap.fromCenterAngle(V3.fromLatLngDegrees(48, 2), 0.08),
-      4 -> S2LatLngRect.fromDegrees(-25, 100, 5, 140),
-      5 -> S2Cap.fromCenterAngle(V3.fromLatLngDegrees(-33, 151), 0.05),
-      6 -> S2TextFormat.parsePolygon("35:-10, 35:30, 60:30, 60:-10"))
-    val joined = S2Joins.broadcastContainsJoin(docs, regions)
+  def benchRegions: Seq[(Int, S2Region)] = Seq(
+    1 -> S2TextFormat.parsePolygon("0:0, 0:35, 30:35, 30:0"),
+    2 -> S2TextFormat.parsePolygon("-40:-80, -40:-30, -10:-30, -10:-80"),
+    3 -> S2Cap.fromCenterAngle(V3.fromLatLngDegrees(48, 2), 0.08),
+    4 -> S2LatLngRect.fromDegrees(-25, 100, 5, 140),
+    5 -> S2Cap.fromCenterAngle(V3.fromLatLngDegrees(-33, 151), 0.05),
+    6 -> S2TextFormat.parsePolygon("35:-10, 35:30, 60:30, 60:-10"))
+
+  def benchTiles: Seq[(Int, Array[Long])] = {
     val level2 = Iterator.iterate(S2CellId.begin(2))(S2CellId.next)
       .takeWhile(_ != S2CellId.end(2)).toArray
-    val tiles = level2.zipWithIndex.groupBy(_._2 % 24).toSeq
+    level2.zipWithIndex.groupBy(_._2 % 24).toSeq
       .map { case (tid, cs) => (tid, cs.map(_._1)) }
-    S2Joins.tileAssign(joined, tiles)
-      .groupBy("qid", "tile_id").count()
+  }
+
+  /** The flagship three-stage job over the materialized table: ingest
+    * (cell ids) → covering+PIP join (6 regions) → tile assign →
+    * per-(qid,tile) counts, executed through the fused
+    * [[S2Joins.regionTileCounts]] pass (differential-tested against the
+    * compositional broadcastContainsJoin + tileAssign + groupBy plan,
+    * which PipelineDemo still exercises end-to-end). Returns total
+    * matched rows. */
+  def pipeline(spark: SparkSession, docsPath: String): Long = {
+    val docs = spark.read.parquet(docsPath)
+    S2Joins.regionTileCounts(docs, benchRegions, benchTiles)
       .agg(sum("count")).head().getLong(0)
   }
 
@@ -79,6 +89,11 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       math.max(8, Runtime.getRuntime.availableProcessors()).toString).toInt
+    // 192M docs (~18 GB parquet): page-cache-resident with headroom.
+    // A 384M variant was tried and rejected — doubling the input doubled
+    // the IO-variance exposure (13 s outlier reps from cache/writeback
+    // effects) and cost more signal than the better amortization of the
+    // ~0.35 s fixed per-job cost bought.
     val benchDocs = sys.env.getOrElse("SPARK_GRAFT_BENCH_DOCS", "192000000").toLong
 
     // ---- phase 1: headline queries at full parallelism ----
@@ -146,7 +161,7 @@ object Bench {
     // one session at `cores`: 1 untimed warmup + repsPerRound timed reps,
     // hw ceiling sampled adjacent (between warmup and timed reps)
     def sessionReps(cores: Int): (Seq[Double], Double) = {
-      val s = session(cores)
+      val s = session(cores, aqe = false)
       matched = pipeline(s, docsPath) // warmup (JIT, codegen, broadcast)
       val ceil = cpuRate(cores)
       val times = (1 to repsPerRound).map { _ =>

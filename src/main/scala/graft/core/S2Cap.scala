@@ -49,8 +49,8 @@ final case class S2Cap(center: V3, radius2: Double) extends S2Region {
     if (isEmpty) S2Cap.Empty
     else S2Cap(center, add(radius2, fromRadians(distanceRadians)))
 
-  override def contains(p: V3): Boolean =
-    fromPoints(center, p) <= radius2
+  override def contains(p: V3): Boolean = // allocation-free (hot refine path)
+    fromPointsXYZ(center.x, center.y, center.z, p.x, p.y, p.z) <= radius2
 
   def interiorContains(p: V3): Boolean =
     isFull || fromPoints(center, p) < radius2

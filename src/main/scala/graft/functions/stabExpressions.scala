@@ -47,21 +47,30 @@ case class S2StabMatch(first: Expression, second: Expression, third: Expression,
   }
 
   def kernel(cellOrd: Long, lat: Double, lng: Double): ArrayData = {
-    var out: scala.collection.mutable.ArrayBuffer[Int] = null
+    // allocation-free on misses and interior-only hits except the result:
+    // no closures (would allocate Ref cells per row), no ArrayBuffer[Int]
+    // (boxes), scratch buffer reused per thread. GC pressure from this
+    // kernel was the measured 32-thread scaling limiter.
+    val s = index.segmentOf(cellOrd)
+    if (s < 0) return S2StabMatch.EmptyArray
+    val buf = S2StabMatch.scratch.get()
+    var cnt = 0
     var p: V3 = null
-    index.visit(cellOrd) { (lab, interior, _) =>
-      val hit = interior || {
+    var i = index.entryBegin(s)
+    val end = index.entryEnd(s)
+    while (i < end) {
+      val lab = index.labelAt(i)
+      var hit = index.interiorAt(i)
+      if (!hit) {
         if (p == null) p = V3.fromLatLngDegrees(lat, lng)
         val reg = regionOf(lab)
-        reg != null && reg.contains(p)
+        hit = reg != null && reg.contains(p)
       }
-      if (hit) {
-        if (out == null) out = new scala.collection.mutable.ArrayBuffer[Int](4)
-        out += lab
-      }
+      if (hit) { buf(cnt) = lab; cnt += 1 }
+      i += 1
     }
-    if (out == null) S2StabMatch.EmptyArray
-    else new GenericArrayData(out.toArray)
+    if (cnt == 0) S2StabMatch.EmptyArray
+    else new GenericArrayData(java.util.Arrays.copyOfRange(buf, 0, cnt))
   }
 
   override def nullSafeEval(ord: Any, lat: Any, lng: Any): Any =
@@ -79,6 +88,10 @@ case class S2StabMatch(first: Expression, second: Expression, third: Expression,
 
 object S2StabMatch {
   val EmptyArray = new GenericArrayData(Array.emptyIntArray)
+  // per-thread candidate scratch (expressions are shared across tasks in
+  // a local[n] JVM); 4096 bounds overlap depth, not region count
+  private[functions] val scratch: ThreadLocal[Array[Int]] =
+    ThreadLocal.withInitial(() => new Array[Int](4096))
 }
 
 /** Native tile-assignment expression (S2RegionSharder semantics): leaf
@@ -94,10 +107,14 @@ case class S2TileAssign(child: Expression, index: CellIntervalIndex,
   override def nullIntolerant: Boolean = true
 
   def kernel(cellId: Long): Int = {
+    // allocation-free fast paths: the per-row labelsContaining array copy
+    // was measurable GC pressure at 32 threads
     val ord = S2CellId.orderKey(cellId)
-    val labs = index.labelsContaining(ord)
-    if (labs.length == 1) labs(0)
-    else if (labs.isEmpty) default
+    val s = index.segmentOf(ord)
+    if (s < 0) return default
+    val b = index.entryBegin(s); val e = index.entryEnd(s)
+    if (e - b == 1) index.labelAt(b)
+    else if (e == b) default
     else index.mostIntersecting(Array(cellId), default)
   }
 

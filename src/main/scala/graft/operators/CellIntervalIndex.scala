@@ -31,6 +31,16 @@ final class CellIntervalIndex private (
 
   def size: Int = segStart.length
 
+  // ---- allocation-free direct accessors (hot codegen kernels loop over
+  // segment entries without closures or array copies) ----
+  /** Index of the segment containing `ord`, or -1 (public hot-path form). */
+  def segmentOf(ord: Long): Int = findSeg(ord)
+  /** Entry range [entryBegin(s), entryEnd(s)) of segment s. */
+  @inline def entryBegin(s: Int): Int = segOff(s)
+  @inline def entryEnd(s: Int): Int = segOff(s + 1)
+  @inline def labelAt(e: Int): Int = entryLabel(e)
+  @inline def interiorAt(e: Int): Boolean = entryInterior(e)
+
   /** Index of the segment containing `ord`, or -1. */
   @inline private def findSeg(ord: Long): Int = {
     var l = 0; var r = segStart.length

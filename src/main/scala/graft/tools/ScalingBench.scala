@@ -20,7 +20,7 @@ object ScalingBench {
     val s = SparkSession.builder()
       .master(s"local[$cores]")
       .config("spark.sql.shuffle.partitions", cores.toString)
-      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.enabled", "false") // see Bench.session: AQE replan is pure fixed overhead for this job
       .config("spark.ui.enabled", "false")
       // NOTE: driver memory cannot be set here — local-mode driver IS this
       // JVM; size it at launch (sbt -J-Xmx / spark-submit --driver-memory)

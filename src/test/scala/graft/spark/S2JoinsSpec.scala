@@ -144,6 +144,19 @@ class S2JoinsSpec extends AnyFunSuite {
     assert(!labels.contains(9L)) // singleton
   }
 
+  test("regionTileCounts (fused pass) = broadcastContainsJoin + tileAssign + groupBy") {
+    val regions = graft.Bench.benchRegions
+    val tiles = graft.Bench.benchTiles
+    val fused = S2Joins.regionTileCounts(docs, regions, tiles)
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2))).toSet
+    val compositional = S2Joins.tileAssign(
+        S2Joins.broadcastContainsJoin(docs, regions), tiles)
+      .groupBy("qid", "tile_id").count()
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2))).toSet
+    assert(fused == compositional)
+    assert(fused.nonEmpty)
+  }
+
   test("tileAssign picks the containing tile; disjoint level-2 tiling partitions all docs") {
     // tiles = all level-2 cells grouped round-robin into 24 tiles: a
     // disjoint partition of the sphere, so every doc gets a tile.
