@@ -46,13 +46,26 @@ object Similarity {
     * table (narrow), then global top-k per query via window (the shuffled
     * set is already scored — ≤ rows×queries scalar rows, no vectors). Ties
     * break by id ascending. */
+  private val normUdf = udf { (a: Seq[Float]) => math.sqrt(dotKernel(a, a)) }
+
+  /** Cosine with pre-computed norms (identical doubles to [[cosine]] —
+    * same kernel, same op order — but each row's self-norm is computed
+    * once instead of once per pair; 3x fewer kernel dots on the
+    * all-pairs hot path). */
+  private def cosinePre(dotAb: Column, na: Column, nb: Column): Column = {
+    val d = na * nb
+    when(d === 0, lit(0.0)).otherwise(dotAb / d)
+  }
+
   def bruteForceTopK(data: DataFrame, idCol: String, vecCol: String,
                      queries: DataFrame, qidCol: String, qvecCol: String,
                      k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val joined = data.select(col(idCol).as("id"), col(vecCol).as("v"))
-      .crossJoin(broadcast(queries.select(col(qidCol).as("qid"), col(qvecCol).as("qv"))))
-      .withColumn("score", cosine(col("v"), col("qv")))
+    val joined = data.select(col(idCol).as("id"), col(vecCol).as("v"),
+        normUdf(col(vecCol)).as("nv"))
+      .crossJoin(broadcast(queries.select(col(qidCol).as("qid"), col(qvecCol).as("qv"),
+        normUdf(col(qvecCol)).as("nq"))))
+      .withColumn("score", cosinePre(dotUdf(col("v"), col("qv")), col("nv"), col("nq")))
       .select("qid", "id", "score") // drop vectors before the shuffle
     val w = Window.partitionBy("qid").orderBy(col("score").desc, col("id"))
     joined.withColumn("rank", row_number().over(w))
@@ -115,11 +128,13 @@ object Similarity {
     import org.apache.spark.sql.expressions.Window
     def withBuckets(df: DataFrame, vc: String): DataFrame =
       df.select(col("*"), posexplode(tableBuckets(col(vc), nPlanes, tables)).as(Seq("_t", "_b")))
-    val d = withBuckets(data.select(col(idCol).as("id"), col(vecCol).as("v")), "v")
-    val q = withBuckets(queries.select(col(qidCol).as("qid"), col(qvecCol).as("qv")), "qv")
+    val d = withBuckets(data.select(col(idCol).as("id"), col(vecCol).as("v"),
+      normUdf(col(vecCol)).as("nv")), "v")
+    val q = withBuckets(queries.select(col(qidCol).as("qid"), col(qvecCol).as("qv"),
+      normUdf(col(qvecCol)).as("nq")), "qv")
     val cands = d.join(broadcast(q), Seq("_t", "_b"))
-      .select("qid", "id", "v", "qv").distinct()
-      .withColumn("score", cosine(col("v"), col("qv")))
+      .select("qid", "id", "v", "qv", "nv", "nq").distinct()
+      .withColumn("score", cosinePre(dotUdf(col("v"), col("qv")), col("nv"), col("nq")))
     val w = Window.partitionBy("qid").orderBy(col("score").desc, col("id"))
     cands.withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
@@ -131,14 +146,17 @@ object Similarity {
   def cosineNearDupPairs(data: DataFrame, idCol: String, vecCol: String,
                          threshold: Double, nPlanes: Int = 8,
                          tables: Int = 4): DataFrame = {
-    val withB = data.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val withB = data.select(col(idCol).as("id"), col(vecCol).as("v"),
+        normUdf(col(vecCol)).as("n"))
       .select(col("*"), posexplode(tableBuckets(col("v"), nPlanes, tables)).as(Seq("_t", "_b")))
-    val a = withB.select(col("_t"), col("_b"), col("id").as("id_a"), col("v").as("v_a"))
-    val b = withB.select(col("_t"), col("_b"), col("id").as("id_b"), col("v").as("v_b"))
+    val a = withB.select(col("_t"), col("_b"), col("id").as("id_a"),
+      col("v").as("v_a"), col("n").as("n_a"))
+    val b = withB.select(col("_t"), col("_b"), col("id").as("id_b"),
+      col("v").as("v_b"), col("n").as("n_b"))
     a.join(b, Seq("_t", "_b"))
       .where(col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "v_a", "v_b").distinct()
-      .withColumn("cosine", cosine(col("v_a"), col("v_b")))
+      .select("id_a", "id_b", "v_a", "v_b", "n_a", "n_b").distinct()
+      .withColumn("cosine", cosinePre(dotUdf(col("v_a"), col("v_b")), col("n_a"), col("n_b")))
       .where(col("cosine") >= threshold)
       .select("id_a", "id_b", "cosine")
   }
