@@ -90,19 +90,25 @@ object S2BooleanOps {
       }
     }
 
-    // 2+3. subdivide and select
-    val kept = new mutable.ArrayBuffer[(V3, V3)]()
+    // 2+3. subdivide and select. Each kept edge carries a source tag
+    // (operand, loop index) so the stitcher can prefer same-source
+    // continuation at vertices shared between loops.
+    val kept = new mutable.ArrayBuffer[(V3, V3, Int)]()
     // keepInside: keep sub-edges whose midpoint is inside `other`
     def selectEdges(loops: Array[Array[Edge]], other: S2Polygon,
-                    keepInside: Boolean, reverse: Boolean): Unit = {
-      for (loop <- loops) {
+                    keepInside: Boolean, reverse: Boolean, tagBase: Int): Unit = {
+      for ((loop, li) <- loops.zipWithIndex) {
+        val tag = tagBase + li
         val loopHasCrossings = loop.exists(_.crossings != null)
         if (!loopHasCrossings) {
-          // whole-loop classification by a representative vertex
-          val rep = loop(0).v0
+          // whole-loop classification by the midpoint of the first edge —
+          // NOT a vertex: in vertex-touching configurations a vertex may
+          // lie exactly on the other polygon's boundary, while interior
+          // edge points do not
+          val rep = geodesicMidpoint(loop(0).v0, loop(0).v1)
           if (other.contains(rep) == keepInside) {
             for (e <- loop)
-              kept += (if (reverse) (e.v1, e.v0) else (e.v0, e.v1))
+              kept += (if (reverse) (e.v1, e.v0, tag) else (e.v0, e.v1, tag))
           }
         } else {
           for (e <- loop) {
@@ -117,7 +123,7 @@ object S2BooleanOps {
             while (i < pts.length - 1) {
               val u = pts(i); val v = pts(i + 1)
               if (u != v && other.contains(geodesicMidpoint(u, v)) == keepInside)
-                kept += (if (reverse) (v, u) else (u, v))
+                kept += (if (reverse) (v, u, tag) else (u, v, tag))
               i += 1
             }
           }
@@ -127,51 +133,78 @@ object S2BooleanOps {
 
     op match {
       case Intersection =>
-        selectEdges(aEdges, b, keepInside = true, reverse = false)
-        selectEdges(bEdges, a, keepInside = true, reverse = false)
+        selectEdges(aEdges, b, keepInside = true, reverse = false, 0)
+        selectEdges(bEdges, a, keepInside = true, reverse = false, 1 << 20)
       case Union =>
-        selectEdges(aEdges, b, keepInside = false, reverse = false)
-        selectEdges(bEdges, a, keepInside = false, reverse = false)
+        selectEdges(aEdges, b, keepInside = false, reverse = false, 0)
+        selectEdges(bEdges, a, keepInside = false, reverse = false, 1 << 20)
       case Difference =>
-        selectEdges(aEdges, b, keepInside = false, reverse = false)
-        selectEdges(bEdges, a, keepInside = true, reverse = true)
+        selectEdges(aEdges, b, keepInside = false, reverse = false, 0)
+        selectEdges(bEdges, a, keepInside = true, reverse = true, 1 << 20)
       case SymmetricDifference =>
         throw new IllegalStateException("handled in apply()")
     }
 
-    // 4. stitch directed sub-edges into loops
-    val next = new java.util.HashMap[V3, V3](kept.size * 2)
-    kept.foreach { case (u, v) =>
-      val prev = next.put(u, v)
-      require(prev == null,
-        s"non-generic input: vertex $u has two outgoing boundary edges " +
-          "(shared vertices / overlapping edges require snap rounding first)")
+    // 4. stitch directed sub-edges into loops. The kept set forms a
+    // balanced directed multigraph (every vertex has equal in/out degree
+    // because crossing a kept boundary flips rule membership), so ANY
+    // edge-consuming walk decomposes it into closed loops and every
+    // decomposition is parity-equivalent. At vertices shared between
+    // loops (vertex-touching inputs) we prefer continuing along the same
+    // source loop, which yields the touching loops separately instead of
+    // a figure-eight.
+    final case class Out(v: V3, tag: Int)
+    val outs = new java.util.HashMap[V3, mutable.ArrayBuffer[Out]](kept.size * 2)
+    kept.foreach { case (u, v, tag) =>
+      var lst = outs.get(u)
+      if (lst == null) { lst = new mutable.ArrayBuffer[Out](2); outs.put(u, lst) }
+      lst += Out(v, tag)
+    }
+    def takeOut(u: V3, prefTag: Int): Out = {
+      val lst = outs.get(u)
+      require(lst != null && lst.nonEmpty,
+        s"open boundary chain at $u — collinear/overlapping edges are not " +
+          "supported (snap-round inputs first)")
+      val i = {
+        val j = lst.indexWhere(_.tag == prefTag)
+        if (j >= 0) j else 0
+      }
+      val o = lst.remove(i)
+      if (lst.isEmpty) outs.remove(u)
+      o
     }
     val loops = new mutable.ArrayBuffer[S2Loop]()
-    val visited = new java.util.HashSet[V3](kept.size * 2)
-    kept.foreach { case (start, _) =>
-      if (!visited.contains(start)) {
-        val verts = new mutable.ArrayBuffer[V3]()
-        var cur = start
-        var guard = 0
-        while (!visited.contains(cur)) {
-          visited.add(cur)
-          verts += cur
-          val n = next.get(cur)
-          require(n != null, s"open boundary chain at $cur — non-generic input")
-          cur = n
-          guard += 1
-          require(guard <= kept.size + 1, "stitching did not close")
-        }
-        require(cur == start, s"chain re-entered at non-start vertex $cur")
-        if (verts.length >= 3) {
-          // output loops are walked with the RESULT interior on the left:
-          // shells come out CCW (area <= 2pi), holes CW (area > 2pi as
-          // written). Normalize holes back to small loops — the parity
-          // containment model stores every loop with its small interior.
-          val loop = S2Loop(verts.toArray)
-          loops += (if (loop.area > 2 * math.Pi) S2Loop(verts.reverse.toArray) else loop)
-        }
+    var remaining = kept.size
+    var scanIdx = 0
+    while (remaining > 0) {
+      // find an unconsumed starting edge
+      while (scanIdx < kept.length && {
+        val lst = outs.get(kept(scanIdx)._1)
+        lst == null || !lst.exists(o => o.v == kept(scanIdx)._2 && o.tag == kept(scanIdx)._3)
+      }) scanIdx += 1
+      require(scanIdx < kept.length, "stitch scan exhausted with edges remaining")
+      val (start, _, startTag) = kept(scanIdx)
+      val verts = new mutable.ArrayBuffer[V3]()
+      var cur = start
+      var curTag = startTag
+      var guard = 0
+      var done = false
+      while (!done) {
+        verts += cur
+        val o = takeOut(cur, curTag)
+        remaining -= 1
+        cur = o.v; curTag = o.tag
+        guard += 1
+        require(guard <= kept.size + 1, "stitching did not close")
+        if (cur == start) done = true
+      }
+      if (verts.length >= 3) {
+        // output loops are walked with the RESULT interior on the left:
+        // shells come out CCW (area <= 2pi), holes CW (area > 2pi as
+        // written). Normalize holes back to small loops — the parity
+        // containment model stores every loop with its small interior.
+        val loop = S2Loop(verts.toArray)
+        loops += (if (loop.area > 2 * math.Pi) S2Loop(verts.reverse.toArray) else loop)
       }
     }
     new S2Polygon(loops.toArray)

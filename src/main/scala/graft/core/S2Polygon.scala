@@ -109,9 +109,19 @@ final class S2Polygon(val loops: Array[S2Loop]) extends S2Region {
     * only; representative vertices are never on another loop's boundary
     * for valid inputs). */
   lazy val loopSigns: Array[Int] = loops.map { l =>
-    if (l.numVertices == 0) 1
+    if (l.numVertices < 2) 1
     else {
-      val rep = l.vertex(0)
+      // probe strictly inside this loop, just off its first edge — NOT a
+      // vertex: loops may legally share vertices (touching shells), and a
+      // shared vertex lies exactly on the sibling's boundary where parity
+      // is undefined
+      val a = l.vertex(0); val b = l.vertex(1)
+      val mid = (a + b).normalize
+      val n = S2EdgeCrossings.robustCrossProd(a, b).normalize
+      val eps = 1e-9
+      val p1 = (mid * math.cos(eps)) + (n * math.sin(eps))
+      val rep = if (l.bruteForceContains(p1)) p1
+                else (mid * math.cos(eps)) - (n * math.sin(eps))
       var depth = 0
       for (o <- loops if o ne l)
         if (o.bound.contains(rep) && o.bruteForceContains(rep)) depth += 1

@@ -97,6 +97,37 @@ class S2BooleanOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("vertex-touching operands: corner-sharing squares") {
+    // A and T share exactly the vertex (10,10); union keeps both loops,
+    // intersection is point-degenerate (empty in the Polygon model)
+    val T = poly("10:10, 10:20, 20:20, 20:10")
+    val uni = S2BooleanOps.union(A, T)
+    assert(uni.numLoops == 2)
+    val inter = S2BooleanOps.intersection(A, T)
+    assert(inter.isEmpty)
+    val diff = S2BooleanOps.difference(A, T)
+    for (p <- samplePoints(2000, 17)) {
+      val ia = A.contains(p); val it = T.contains(p)
+      assert(uni.contains(p) == (ia || it), s"union at $p")
+      assert(diff.contains(p) == (ia && !it), s"diff at $p")
+    }
+    assert(math.abs(uni.area - (A.area + T.area)) < 1e-12)
+  }
+
+  test("vertex-touching: square and triangle sharing one vertex, overlapping region") {
+    // triangle shares vertex (0,0) with A and extends into A
+    val T = poly("0:0, -5:5, 5:5")
+    val uni = S2BooleanOps.union(A, T)
+    val inter = S2BooleanOps.intersection(A, T)
+    val diff = S2BooleanOps.difference(A, T)
+    for (p <- samplePoints(3000, 19)) {
+      val ia = A.contains(p); val it = T.contains(p)
+      assert(uni.contains(p) == (ia || it), s"union at $p")
+      assert(inter.contains(p) == (ia && it), s"inter at $p")
+      assert(diff.contains(p) == (ia && !it), s"diff at $p")
+    }
+  }
+
   test("getIntersection: equator x meridian crossing is (1,0,0) to within kIntersectionError") {
     val p = S2EdgeIntersections.getIntersection(
       V3.fromLatLngDegrees(0, -10), V3.fromLatLngDegrees(0, 10),
