@@ -1,0 +1,75 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core._
+import graft.functions.PolyCache
+
+/** Column-level constructive-geometry surface: boolean operations,
+  * buffering, winding and Hausdorff over polygon-text columns (the
+  * engine's canonical geometry literal format, reference s2text_format).
+  * These wrap the exact kernels in graft.core — a user of the reference's
+  * S2BooleanOperation / S2BufferOperation / S2HausdorffDistanceQuery
+  * switches to these columns. Geometry sides are typically dimension
+  * tables; the UDFs parse through the per-executor [[PolyCache]]. */
+object GeometryOps {
+
+  private def toText(p: S2Polygon): String = S2TextFormat.polygonToString(p)
+
+  private def opUdf(op: S2BooleanOps.Op) = udf { (a: String, b: String) =>
+    toText(S2BooleanOps(op, PolyCache.get(a), PolyCache.get(b)))
+  }
+
+  val polygonUnionUdf = opUdf(S2BooleanOps.Union)
+  val polygonIntersectionUdf = opUdf(S2BooleanOps.Intersection)
+  val polygonDifferenceUdf = opUdf(S2BooleanOps.Difference)
+  val polygonSymmetricDifferenceUdf = opUdf(S2BooleanOps.SymmetricDifference)
+
+  def polygonUnion(a: Column, b: Column): Column = polygonUnionUdf(a, b)
+  def polygonIntersection(a: Column, b: Column): Column = polygonIntersectionUdf(a, b)
+  def polygonDifference(a: Column, b: Column): Column = polygonDifferenceUdf(a, b)
+  def polygonSymmetricDifference(a: Column, b: Column): Column =
+    polygonSymmetricDifferenceUdf(a, b)
+
+  val polygonBufferUdf = udf { (text: String, radiusRad: Double) =>
+    toText(S2Buffer.bufferPolygon(PolyCache.get(text), radiusRad))
+  }
+  def polygonBuffer(text: Column, radiusRad: Column): Column =
+    polygonBufferUdf(text, radiusRad)
+
+  val polygonAreaUdf = udf { (text: String) => PolyCache.get(text).area }
+  def polygonArea(text: Column): Column = polygonAreaUdf(text)
+
+  /** Undirected Hausdorff distance (squared chord) between polygon
+    * texts, interiors included. */
+  def polygonHausdorff(a: Column, b: Column): Column =
+    RegionJoins.polygonHausdorffUdf(a, b)
+
+  /** Winding-rule containment of (lat,lng) against a multi-ring polygon
+    * text whose rings are DIRECTED as written. */
+  private def ruleOf(name: String): S2Winding.WindingRule =
+    name.toUpperCase match {
+      case "POSITIVE" => S2Winding.Positive
+      case "NEGATIVE" => S2Winding.Negative
+      case "ODD" => S2Winding.Odd
+      case _ => S2Winding.NonZero
+    }
+  val windingContainsUdf = udf { (text: String, rule: String, lat: Double, lng: Double) =>
+    val rings = text.split(";").map(S2TextFormat.parsePoints).filter(_.nonEmpty)
+    S2Winding.contains(rings.toSeq, ruleOf(rule), V3.fromLatLngDegrees(lat, lng))
+  }
+  def windingContains(text: Column, rule: Column, lat: Column, lng: Column): Column =
+    windingContainsUdf(text, rule, lat, lng)
+
+  /** Register the SQL-callable names. */
+  def registerAll(spark: SparkSession): Unit = {
+    spark.udf.register("s2_polygon_union", polygonUnionUdf)
+    spark.udf.register("s2_polygon_intersection", polygonIntersectionUdf)
+    spark.udf.register("s2_polygon_difference", polygonDifferenceUdf)
+    spark.udf.register("s2_polygon_symdiff", polygonSymmetricDifferenceUdf)
+    spark.udf.register("s2_polygon_buffer", polygonBufferUdf)
+    spark.udf.register("s2_polygon_area", polygonAreaUdf)
+    spark.udf.register("s2_polygon_hausdorff", RegionJoins.polygonHausdorffUdf)
+    spark.udf.register("s2_winding_contains", windingContainsUdf)
+  }
+}
