@@ -445,8 +445,11 @@ object SparkEntry {
         .groupBy("bucket", "abucket").agg(count(lit(1)).as("cnt"))
     }),
 
-    "q_s2_density_shards" -> ((s, dir) => { // rows-only (data-dependent cuts)
-      val docs = docsGeo(s, dir)
+    "q_s2_density_shards" -> ((s, dir) => {
+      // doc_id < 500 (present at every SF): the adaptive equal-weight cuts
+      // become a deterministic function of the known doc set, replicated
+      // in plain Scala by the oracle (kernel-golden VALUES)
+      val docs = docsGeo(s, dir).where(col("doc_id") < 500)
       val bounds = Density.equalWeightBoundaries(docs, 4, 8)
       val b = s.sparkContext.broadcast(bounds)
       val sid = udf { (ord: Long) => Density.shardId(b.value)(ord) }
@@ -628,6 +631,46 @@ object SparkEntry {
     }.mkString(", ")
     val (langScoreCols, langPredExpr) = TextAnalysis.langIdSqlParts("text")
 
+    // plain-Scala replica of Density.equalWeightBoundaries + shardId over
+    // the known doc_id < 500 leaf cells (same histogram levels, hot-cell
+    // refinement, cut rule, and binary search — deterministic)
+    val shardGold500: String = {
+      val ids = 0L until 500L
+      val leafs: Map[Long, Long] = ids.map(id => id -> leafOf(id)).toMap
+      val targetW = math.max(1L, ids.size.toLong / 8)
+      def histAt(subset: Iterable[Long], l: Int): Seq[(Long, Long, Int)] =
+        subset.groupBy(leaf => S2CellId.parent(leaf, l)).toSeq
+          .map { case (c, g) => (S2CellId.orderKey(c), g.size.toLong, l) }
+      var entries = histAt(leafs.values, 4)
+      var cur = 4
+      while (cur < 16 &&
+             entries.exists { case (_, w, l) => w > targetW && l == cur }) {
+        val next = cur + 4
+        val hot = entries.collect { case (o, w, l) if w > targetW && l == cur =>
+          S2CellId.fromOrderKey(o) }.toSet
+        val refinedSrc = leafs.values.filter(leaf => hot.contains(S2CellId.parent(leaf, cur)))
+        val refined = histAt(refinedSrc, math.min(next, 16))
+        entries = entries.filterNot { case (o, _, l) =>
+          l == cur && hot.contains(S2CellId.fromOrderKey(o)) } ++ refined
+        cur = next
+      }
+      val hist = entries.sortBy(_._1).map { case (o, w, _) => (o, w) }
+      val cuts = scala.collection.mutable.ArrayBuffer.empty[Long]
+      var acc = 0L
+      for ((ord, w) <- hist if cuts.length < 7) {
+        acc += w
+        if (acc >= targetW) {
+          val cell = S2CellId.fromOrderKey(ord)
+          cuts += S2CellId.orderKey(S2CellId.rangeMax(cell)) + 1
+          acc = 0L
+        }
+      }
+      val bounds = cuts.toArray
+      ids.map { id =>
+        s"($id, ${Density.shardId(bounds)(S2CellId.orderKey(leafs(id)))})"
+      }.mkString(", ")
+    }
+
     Map(
       "q1_agg" ->
         """SELECT l_returnflag, l_linestatus,
@@ -759,6 +802,13 @@ object SparkEntry {
                       ELSE 'VALID' END AS verdict
           FROM documents WHERE doc_id < 2000)
         GROUP BY verdict""",
+
+      "q_s2_density_shards" -> s"""
+        SELECT v.shard, count(*) AS cnt, CAST(sum(d.doc_id) AS BIGINT) AS sum_id
+        FROM documents d
+        JOIN (VALUES $shardGold500) v(doc_id, shard) ON d.doc_id = v.doc_id
+        WHERE d.doc_id < 500
+        GROUP BY v.shard""",
 
       "q_geom_repair" -> """
         SELECT verdict, repaired, count(*) AS cnt FROM (
