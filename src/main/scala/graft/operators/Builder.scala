@@ -1,0 +1,112 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.core._
+import scala.collection.mutable
+
+/** Edge-graph polygon assembly — the S2Builder layer-stack core
+  * (/root/reference/src/s2/s2builder.h:59-69) reduced to its polygon
+  * essentials: snap input edges with the cell-id snap function, discard
+  * degenerate edges, cancel sibling pairs, and stitch the remaining
+  * balanced directed graph into loops (S2PolygonLayer with
+  * DegenerateEdges::DISCARD + SiblingPairs::DISCARD semantics). This is
+  * the ingestion path for geometry that arrives as unordered edge soup —
+  * tile boundaries, clipped fragments, merged layers. */
+object Builder {
+
+  /** Assemble a parity-model polygon from directed edges (interior-left).
+    * Steps: snap endpoints at `snapLevel` (30 = leaf ≈ identity), drop
+    * edges that collapse, cancel sibling pairs (k copies of u→v and m of
+    * v→u leave |k-m| copies in the majority direction), stitch loops,
+    * drop sliver loops (< 3 vertices), normalize to small interiors.
+    * Throws IllegalArgumentException when the snapped graph is not
+    * balanced (dangling boundary). */
+  def assemblePolygon(edges: Seq[(V3, V3)], snapLevel: Int = 30): S2Polygon = {
+    // 1-2. snap + drop degenerate (snapLevel < 0 = identity snap: exact
+    // endpoint matching, the reference's IdentitySnapFunction(0) default)
+    def snap(p: V3): V3 = if (snapLevel < 0) p else Snap.snapPoint(p, snapLevel)
+    val snapped = edges.iterator
+      .map { case (u, v) => (snap(u), snap(v)) }
+      .filter { case (u, v) => u != v }
+      .toSeq
+    // 3. sibling-pair cancellation with multiplicity
+    val countByEdge = mutable.HashMap.empty[(V3, V3), Int]
+    snapped.foreach { e => countByEdge(e) = countByEdge.getOrElse(e, 0) + 1 }
+    val survivors = mutable.ArrayBuffer.empty[(V3, V3)]
+    val done = mutable.HashSet.empty[(V3, V3)]
+    for ((e @ (u, v), k) <- countByEdge if !done.contains(e)) {
+      val sib = (v, u)
+      val m = countByEdge.getOrElse(sib, 0)
+      done += e; done += sib
+      if (k > m) for (_ <- 0 until k - m) survivors += e
+      else if (m > k) for (_ <- 0 until m - k) survivors += sib
+    }
+    // 4. stitch the balanced multigraph (any decomposition is
+    // parity-equivalent; see S2BooleanOps stitching)
+    val outs = mutable.HashMap.empty[V3, mutable.ArrayBuffer[V3]]
+    survivors.foreach { case (u, v) =>
+      outs.getOrElseUpdate(u, new mutable.ArrayBuffer[V3](2)) += v }
+    val ins = mutable.HashMap.empty[V3, Int]
+    survivors.foreach { case (_, v) => ins(v) = ins.getOrElse(v, 0) + 1 }
+    for ((u, lst) <- outs) {
+      require(ins.getOrElse(u, 0) == lst.length,
+        s"unbalanced edge graph at $u (in=${ins.getOrElse(u, 0)}, out=${lst.length}) — " +
+          "input is not a closed boundary at this snap level")
+    }
+    for ((v, k) <- ins) require(outs.get(v).exists(_.length == k) || k == 0,
+      s"unbalanced edge graph at $v — input is not a closed boundary")
+    val loops = mutable.ArrayBuffer.empty[S2Loop]
+    var remaining = survivors.size
+    while (remaining > 0) {
+      val start = outs.keysIterator.next()
+      val verts = mutable.ArrayBuffer.empty[V3]
+      var cur = start
+      var guard = 0
+      var doneLoop = false
+      while (!doneLoop) {
+        verts += cur
+        val lst = outs(cur)
+        val nxt = lst.remove(lst.length - 1)
+        if (lst.isEmpty) outs.remove(cur)
+        remaining -= 1
+        cur = nxt
+        guard += 1
+        require(guard <= survivors.size + 1, "assembly did not close")
+        if (cur == start) doneLoop = true
+      }
+      if (verts.length >= 3) {
+        val l = S2Loop(verts.toArray)
+        loops += (if (l.area > 2 * math.Pi) S2Loop(verts.reverse.toArray) else l)
+      }
+    }
+    new S2Polygon(loops.toArray)
+  }
+
+  /** Per-group distributed assembly: rows carry one directed edge each
+    * ((latA,lngA) → (latB,lngB)); groups are assembled independently.
+    * Returns (group, poly) with the polygon in text format; groups whose
+    * edge soup cannot close produce null (inspect with the validator). */
+  def assemblePolygons(df: DataFrame, groupCol: String,
+                       latA: String, lngA: String, latB: String, lngB: String,
+                       snapLevel: Int = 30): DataFrame = {
+    val in = df.select(col(groupCol).cast("string").as("g"),
+      col(latA).cast("double"), col(lngA).cast("double"),
+      col(latB).cast("double"), col(lngB).cast("double"))
+    val outSchema = StructType(Seq(
+      StructField("group", StringType), StructField("poly", StringType)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
+    import in.sparkSession.implicits._
+    in.groupByKey(_.getString(0))
+      .mapGroups { (g, rows) =>
+        val edges = rows.map { r =>
+          (V3.fromLatLngDegrees(r.getDouble(1), r.getDouble(2)),
+            V3.fromLatLngDegrees(r.getDouble(3), r.getDouble(4)))
+        }.toSeq
+        val poly = try Some(assemblePolygon(edges, snapLevel))
+        catch { case _: IllegalArgumentException => None }
+        Row(g, poly.map(S2TextFormat.polygonToString).orNull)
+      }(enc)
+  }
+}

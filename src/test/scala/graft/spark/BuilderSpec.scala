@@ -1,0 +1,87 @@
+package graft.spark
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import graft.core._
+import graft.operators.Builder
+
+/** Edge-soup polygon assembly (S2Builder polygon-layer semantics). */
+class BuilderSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def ring(text: String): Array[V3] = S2TextFormat.parsePoints(text)
+  private def edgesOf(vs: Array[V3]): Seq[(V3, V3)] =
+    vs.indices.map(i => (vs(i), vs((i + 1) % vs.length)))
+
+  test("shuffled edge soup reassembles the polygon") {
+    val sq = ring("0:0, 0:10, 10:10, 10:0")
+    val soup = new scala.util.Random(3).shuffle(edgesOf(sq))
+    val poly = Builder.assemblePolygon(soup)
+    assert(poly.numLoops == 1)
+    assert(math.abs(poly.area - S2Loop(sq).area) < 1e-9) // leaf-snap displacement ~1e-10
+    assert(poly.contains(V3.fromLatLngDegrees(5, 5)))
+  }
+
+  test("sibling pairs cancel; duplicate edges keep multiplicity balance") {
+    val sq = ring("0:0, 0:10, 10:10, 10:0")
+    val inner = ring("2:2, 2:8, 8:8, 8:2")
+    // soup = square + inner ring + the inner ring REVERSED (they cancel)
+    val soup = edgesOf(sq) ++ edgesOf(inner) ++ edgesOf(inner.reverse)
+    val poly = Builder.assemblePolygon(soup)
+    assert(poly.numLoops == 1)
+    assert(math.abs(poly.area - S2Loop(sq).area) < 1e-9) // leaf-snap displacement ~1e-10
+  }
+
+  test("two disjoint loops assemble into a 2-loop polygon; shell+hole works") {
+    val a = ring("0:0, 0:10, 10:10, 10:0")
+    val b = ring("40:40, 40:50, 50:50, 50:40")
+    val p1 = Builder.assemblePolygon(edgesOf(a) ++ edgesOf(b))
+    assert(p1.numLoops == 2)
+    // shell + hole (hole edges directed CW = interior-left of the shell
+    // region); parity contains must punch the hole
+    val hole = ring("3:3, 3:7, 7:7, 7:3")
+    val p2 = Builder.assemblePolygon(edgesOf(a) ++ edgesOf(hole.reverse))
+    assert(p2.numLoops == 2)
+    assert(p2.contains(V3.fromLatLngDegrees(1, 1)))
+    assert(!p2.contains(V3.fromLatLngDegrees(5, 5)))
+  }
+
+  test("snapping merges near-duplicate endpoints; open soup is rejected") {
+    val nudge = 1e-9
+    val soup = Seq(
+      (V3.fromLatLngDegrees(0, 0), V3.fromLatLngDegrees(0, 10)),
+      (V3.fromLatLngDegrees(nudge, 10), V3.fromLatLngDegrees(10, 10)), // off by 1e-9 deg
+      (V3.fromLatLngDegrees(10, 10), V3.fromLatLngDegrees(10, 0)),
+      (V3.fromLatLngDegrees(10, 0), V3.fromLatLngDegrees(0, 0)))
+    // with identity snap the 1e-9-degree gap stays open
+    assertThrows[IllegalArgumentException] {
+      Builder.assemblePolygon(soup, snapLevel = -1)
+    }
+    // at level 20 the endpoints snap together and the loop closes
+    val poly = Builder.assemblePolygon(soup, snapLevel = 20)
+    assert(poly.numLoops == 1)
+    assert(poly.contains(V3.fromLatLngDegrees(5, 5)))
+  }
+
+  test("distributed per-group assembly") {
+    import spark.implicits._
+    val sq = ring("0:0, 0:10, 10:10, 10:0")
+    val tri = ring("40:40, 40:45, 45:40")
+    def rows(g: String, vs: Array[V3]) = edgesOf(vs).map { case (u, v) =>
+      (g, V3.latDegrees(u), V3.lngDegrees(u), V3.latDegrees(v), V3.lngDegrees(v)) }
+    val df = (rows("sq", sq) ++ rows("tri", tri) ++
+      Seq(("bad", 0.0, 0.0, 1.0, 1.0))) // open chain
+      .toDF("g", "lat_a", "lng_a", "lat_b", "lng_b")
+    val out = Builder.assemblePolygons(df, "g", "lat_a", "lng_a", "lat_b", "lng_b")
+      .collect().map(r => r.getString(0) -> Option(r.getString(1))).toMap
+    assert(out("bad").isEmpty)
+    val sqPoly = S2TextFormat.parsePolygon(out("sq").get)
+    assert(math.abs(sqPoly.area - S2Loop(sq).area) < 1e-9)
+    val triPoly = S2TextFormat.parsePolygon(out("tri").get)
+    assert(triPoly.contains(V3.fromLatLngDegrees(41.5, 41.5)))
+  }
+}
