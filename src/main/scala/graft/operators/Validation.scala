@@ -15,7 +15,13 @@ object Validation {
 
   sealed trait Code { def name: String }
 
-  /** Validate one loop's vertex array; None = valid. */
+  /** Validate one loop's vertex array; None = valid.
+    *
+    * NOTE: the self-intersection scan is O(n²) in edge count — sized for
+    * per-row geometry (≤ ~10³ vertices). The reference prunes candidate
+    * pairs through its shape index for larger loops; batch-validating big
+    * geometry should pre-filter candidates with [[CellIntervalIndex]]
+    * coverings the same way. */
   def validateLoop(vertices: Array[V3]): Option[String] = {
     if (vertices.length == 1) return None // empty/full sentinels are valid
     if (vertices.length < 3) return Some("TOO_FEW_VERTICES")
