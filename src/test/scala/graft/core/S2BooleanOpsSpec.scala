@@ -128,6 +128,49 @@ class S2BooleanOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("randomized differential: 40 random convex polygon pairs, pointwise semantics") {
+    val rnd = new scala.util.Random(123)
+    def randomConvex(cLat: Double, cLng: Double, span: Double): S2Polygon = {
+      val pts = Array.fill(8)(V3.fromLatLngDegrees(
+        cLat + (rnd.nextDouble() - 0.5) * span,
+        cLng + (rnd.nextDouble() - 0.5) * span))
+      new S2Polygon(Array(S2ConvexHull.hull(pts.toSeq)))
+    }
+    var nonTrivial = 0
+    for (trial <- 0 until 40) {
+      val cLat = rnd.nextDouble() * 80 - 40
+      val cLng = rnd.nextDouble() * 300 - 150
+      val span = 3 + rnd.nextDouble() * 12
+      val pa = randomConvex(cLat, cLng, span)
+      // operand B's window overlaps A's in most trials
+      val pb = randomConvex(cLat + (rnd.nextDouble() - 0.5) * span,
+        cLng + (rnd.nextDouble() - 0.5) * span, span)
+      val inter = S2BooleanOps.intersection(pa, pb)
+      val uni = S2BooleanOps.union(pa, pb)
+      val diff = S2BooleanOps.difference(pa, pb)
+      if (!inter.isEmpty) nonTrivial += 1
+      // sample around both operands
+      val probes = (0 until 300).map { _ =>
+        val src = if (rnd.nextBoolean()) pa else pb
+        val bound = src.bound
+        V3.fromLatLngDegrees(
+          math.toDegrees(bound.latLo) - 2 + rnd.nextDouble() *
+            (math.toDegrees(bound.latHi) - math.toDegrees(bound.latLo) + 4),
+          math.toDegrees(bound.lngLo) - 2 + rnd.nextDouble() *
+            (math.toDegrees(bound.lngHi) - math.toDegrees(bound.lngLo) + 4))
+      }
+      for (p <- probes) {
+        val ia = pa.contains(p); val ib = pb.contains(p)
+        assert(inter.contains(p) == (ia && ib), s"trial $trial inter at $p")
+        assert(uni.contains(p) == (ia || ib), s"trial $trial union at $p")
+        assert(diff.contains(p) == (ia && !ib), s"trial $trial diff at $p")
+      }
+      assert(math.abs(inter.area + uni.area - (pa.area + pb.area)) < 1e-9,
+        s"trial $trial area identity")
+    }
+    assert(nonTrivial >= 5, s"want some overlapping trials, got $nonTrivial")
+  }
+
   test("getIntersection: equator x meridian crossing is (1,0,0) to within kIntersectionError") {
     val p = S2EdgeIntersections.getIntersection(
       V3.fromLatLngDegrees(0, -10), V3.fromLatLngDegrees(0, 10),
