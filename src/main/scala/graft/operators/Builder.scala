@@ -84,6 +84,26 @@ object Builder {
     new S2Polygon(loops.toArray)
   }
 
+  /** N-way union of polygons with PAIRWISE-DISJOINT INTERIORS whose
+    * boundaries may share whole edges (adjacent tiles, parcels, clipped
+    * fragments) — the shared-edge case the crossing-based
+    * [[graft.core.S2BooleanOps]] clipper excludes. Each polygon
+    * contributes its interior-left directed edges; shared boundaries
+    * appear as sibling pairs and cancel, leaving exactly the outer
+    * boundary. Boundaries must match vertex-exactly at the snap level
+    * (snap-align inputs first otherwise). */
+  def unionDisjoint(polys: Seq[S2Polygon], snapLevel: Int = 30): S2Polygon = {
+    val edges = for {
+      p <- polys
+      (l, li) <- p.loops.zipWithIndex
+      i <- 0 until l.numVertices
+    } yield {
+      if (p.loopSigns(li) > 0) (l.vertex(i), l.vertex(i + 1))
+      else (l.vertex(i + 1), l.vertex(i))
+    }
+    assemblePolygon(edges, snapLevel)
+  }
+
   /** Per-group distributed assembly: rows carry one directed edge each
     * ((latA,lngA) → (latB,lngB)); groups are assembled independently.
     * Returns (group, poly) with the polygon in text format; groups whose

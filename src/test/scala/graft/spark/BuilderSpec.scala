@@ -67,6 +67,30 @@ class BuilderSpec extends AnyFunSuite {
     assert(poly.contains(V3.fromLatLngDegrees(5, 5)))
   }
 
+  test("unionDisjoint merges edge-sharing tiles into one region") {
+    // 2x2 grid of squares sharing edges -> one 20x20 square
+    def sq(lat0: Double, lng0: Double) = S2TextFormat.parsePolygon(
+      s"$lat0:$lng0, $lat0:${lng0 + 10}, ${lat0 + 10}:${lng0 + 10}, ${lat0 + 10}:$lng0")
+    val tiles = Seq(sq(0, 0), sq(0, 10), sq(10, 0), sq(10, 10))
+    val merged = graft.operators.Builder.unionDisjoint(tiles)
+    assert(merged.numLoops == 1)
+    val whole = sq(0, 0).area + sq(0, 10).area + sq(10, 0).area + sq(10, 10).area
+    assert(math.abs(merged.area - whole) < 1e-9)
+    val rnd = new scala.util.Random(31)
+    for (_ <- 0 until 1000) {
+      val p = V3.fromLatLngDegrees(rnd.nextDouble() * 26 - 3, rnd.nextDouble() * 26 - 3)
+      assert(merged.contains(p) == tiles.exists(_.contains(p)), s"at $p")
+    }
+    // polygon with hole next to a filler tile: hole boundary cancels
+    val donut = new S2Polygon(Array(
+      S2Loop(ring("0:0, 0:30, 30:30, 30:0")),
+      S2Loop(ring("10:10, 10:20, 20:20, 20:10"))))
+    val filler = S2TextFormat.parsePolygon("10:10, 10:20, 20:20, 20:10")
+    val filled = graft.operators.Builder.unionDisjoint(Seq(donut, filler))
+    assert(filled.numLoops == 1)
+    assert(filled.contains(V3.fromLatLngDegrees(15, 15)))
+  }
+
   test("distributed per-group assembly") {
     import spark.implicits._
     val sq = ring("0:0, 0:10, 10:10, 10:0")
