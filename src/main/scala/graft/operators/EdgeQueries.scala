@@ -66,10 +66,16 @@ object EdgeQueries {
   /** For each doc row, the `k` closest shapes: (doc_id, shape_id, dist2,
     * rank); `maxDist2` (squared chord) prunes results.
     *
-    * @param prefilterFrom shape-set size from which the covering-stab
-    *        candidate index replaces the per-row linear scan (only when
-    *        maxDist2 bounds the search; an unbounded kNN over a huge shape
-    *        set cannot be radius-pruned this way — pass a finite maxDist2). */
+    * For shape sets >= `prefilterFrom`, the per-row linear scan is
+    * replaced by covering-stab candidate pruning (the reference's
+    * index-pruned search): each shape's bounding cap is expanded by a
+    * search radius and covered; stabbing ring r yields EXACTLY the shapes
+    * within distance r of the point (expanded coverings cover everything
+    * within r of the shape), so results stay exact. Bounded searches use
+    * one ring at the search radius; UNBOUNDED kNN escalates through a
+    * geometric ladder of rings until >= k candidates appear (the
+    * best-first-search analogue: cost scales with local density, not
+    * shape count). */
   def closestShapesJoin(docs: DataFrame, shapes: Seq[Shape], k: Int,
                         maxDist2: Double = 4.0,
                         idCol: String = "doc_id",
@@ -77,20 +83,29 @@ object EdgeQueries {
                         prefilterFrom: Int = 64): DataFrame = {
     val spark = docs.sparkSession
     val shapesArr = shapes.toArray
-    val usePrefilter =
-      shapesArr.length >= prefilterFrom && maxDist2 < S1ChordAngle.MaxLength2
-    val index: CellIntervalIndex = if (usePrefilter) {
-      val searchRad = S1ChordAngle.toRadians(maxDist2)
-      val cov = new S2RegionCoverer(8, 0, 30)
+    val usePrefilter = shapesArr.length >= prefilterFrom
+    val cov = new S2RegionCoverer(8, 0, 30)
+    def ringIndex(searchRad: Double): CellIntervalIndex =
       CellIntervalIndex.build(shapesArr.iterator.zipWithIndex.map { case (sh, i) =>
         val cap = sh.boundCap
         val expanded = S2Cap.fromCenterAngle(cap.center,
           math.min(math.Pi, cap.radiusRadians + searchRad))
         (i, cov.getCovering(expanded), Array.empty[Long])
       }.toSeq)
-    } else null
+    // rings: smallest radius first; the last ring covers the whole search
+    val ringRadii: Array[Double] =
+      if (!usePrefilter) null
+      else if (maxDist2 < S1ChordAngle.MaxLength2)
+        Array(S1ChordAngle.toRadians(maxDist2))
+      else Iterator.iterate(0.002)(_ * 4).takeWhile(_ < math.Pi).toArray :+ math.Pi
+    val rings: Array[CellIntervalIndex] =
+      if (ringRadii == null) null else ringRadii.map(ringIndex)
+    // chord^2 of each ring radius: candidates at ring i are guaranteed to
+    // include every shape within this distance of the probe point
+    val ringChord2: Array[Double] =
+      if (ringRadii == null) null else ringRadii.map(S1ChordAngle.fromRadians)
     val bS = spark.sparkContext.broadcast(shapesArr)
-    val bIdx = spark.sparkContext.broadcast(index)
+    val bIdx = spark.sparkContext.broadcast((rings, ringChord2))
 
     val in = docs.select(col(idCol), col(latCol).cast("double"), col(lngCol).cast("double"))
     val outSchema = StructType(Seq(
@@ -101,7 +116,7 @@ object EdgeQueries {
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
     in.mapPartitions { it =>
       val ss = bS.value
-      val idx = bIdx.value
+      val (ringsL, chord2L) = bIdx.value
       it.flatMap { r =>
         val lat = r.getDouble(1); val lng = r.getDouble(2)
         val p = V3.fromLatLngDegrees(lat, lng)
@@ -116,11 +131,23 @@ object EdgeQueries {
             if (best.size > k) { best.pollLastEntry(); () }
           }
         }
-        if (idx != null) {
-          val cand = idx.labelsContaining(
-            S2CellId.orderKey(S2CellId.fromLatLngDegrees(lat, lng)))
-          var i = 0
-          while (i < cand.length) { consider(cand(i)); i += 1 }
+        if (ringsL != null) {
+          val ord = S2CellId.orderKey(S2CellId.fromLatLngDegrees(lat, lng))
+          var ring = 0
+          var done = false
+          while (!done) {
+            best.clear()
+            val cand = ringsL(ring).labelsContaining(ord)
+            var i = 0
+            while (i < cand.length) { consider(cand(i)); i += 1 }
+            // exact at this ring iff the k-th distance is certified inside
+            // it (candidates are a superset of shapes within the ring
+            // radius, but coarse coverings admit farther false positives)
+            done = ring == ringsL.length - 1 ||
+              (best.size >= k && best.lastKey()._1 <= chord2L(ring)) ||
+              (maxDist2 <= chord2L(ring) && best.size < k) // bounded: nothing else can qualify
+            ring += 1
+          }
         } else {
           var i = 0
           while (i < ss.length) { consider(i); i += 1 }

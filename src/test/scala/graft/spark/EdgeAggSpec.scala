@@ -89,6 +89,17 @@ class EdgeAggSpec extends AnyFunSuite {
     val brute = run(Int.MaxValue) // linear scan
     assert(pre == brute)
     assert(pre.nonEmpty)
+
+    // UNBOUNDED kNN at 1000 shapes: ring-escalation prefilter = brute force
+    def runUnbounded(threshold: Int) =
+      EdgeQueries.closestShapesJoin(docs.limit(500), shapes, k = 3,
+        prefilterFrom = threshold)
+        .select("doc_id", "shape_id", "dist2", "rank").collect()
+        .map(r => (r.getString(0), r.getInt(1), r.getDouble(2), r.getInt(3))).toSet
+    val preU = runUnbounded(64)
+    val bruteU = runUnbounded(Int.MaxValue)
+    assert(preU == bruteU)
+    assert(preU.nonEmpty)
   }
 
   test("exact within-distance join certifies boundary points the double kernel can miss") {
