@@ -54,6 +54,13 @@ object SparkEntry {
     V3.fromLatLngDegrees(5.005, 10.005), V3.fromLatLngDegrees(5.005, 60.005),
     V3.fromLatLngDegrees(40.005, 60.005), V3.fromLatLngDegrees(40.005, 10.005))
 
+  // 2x2 grid of edge-sharing convex CCW tiles (same .005-offset guarantee)
+  // for the disjoint-union (tile merge) query
+  private val tileQuads: Seq[Array[V3]] =
+    for (la <- Seq(0.005, 15.005); ln <- Seq(0.005, 20.005)) yield Array(
+      V3.fromLatLngDegrees(la, ln), V3.fromLatLngDegrees(la, ln + 20),
+      V3.fromLatLngDegrees(la + 15, ln + 20), V3.fromLatLngDegrees(la + 15, ln))
+
   private val knnTargets = Seq(
     1 -> V3(0.9254165783983234, 0.33682408883346515, 0.17364817766693033),
     2 -> V3(-0.696364240320019, 0.1227878039689728, -0.7071067811865475),
@@ -285,6 +292,19 @@ object SparkEntry {
     "q_s2_knn" -> ((s, dir) => {
       S2Joins.knnJoin(docsGeo(s, dir), knnTargets, k = 5)
         .select("qid", "doc_id", "rank")
+    }),
+
+    "q_s2_tile_union" -> ((s, dir) => {
+      // merge a 2x2 grid of edge-sharing tiles through the edge-graph
+      // assembler (sibling boundaries cancel), then classify docs against
+      // the MERGED geometry; the oracle states the identical set as the
+      // OR of the four convex tile tests. Leaf-level snap moves the
+      // boundary < 1e-6 deg — the .005-deg grid margin dwarfs it.
+      val tiles = tileQuads.map(vs => new S2Polygon(Array(S2Loop(vs))))
+      val merged = Builder.unionDisjoint(tiles)
+      S2Joins.broadcastContainsJoin(docsGeo(s, dir), Seq(1 -> (merged: S2Region)))
+        .groupBy(col("qid"))
+        .agg(count(lit(1)).as("cnt"), sum("doc_id").as("sum_id"))
     }),
 
     "q_s2_buffer" -> ((s, dir) => {
@@ -912,6 +932,11 @@ object SparkEntry {
             s"SELECT $sid AS sid, doc_id FROM $docsXyzSql p WHERE ${edgeDist2Sql(a, b)} <= 0.01"
           }.mkString(" UNION ALL ")})
         GROUP BY sid""",
+
+      "q_s2_tile_union" -> s"""
+        SELECT 1 AS qid, count(*) AS cnt, CAST(sum(doc_id) AS BIGINT) AS sum_id
+        FROM $docsXyzSql p
+        WHERE ${tileQuads.map(q => s"(${pipWhere(q)})").mkString(" OR ")}""",
 
       "q_s2_buffer" -> {
         val r2 = S1ChordAngle.fromRadians(math.toRadians(0.5))
