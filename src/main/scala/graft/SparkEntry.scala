@@ -484,7 +484,7 @@ object SparkEntry {
         .groupBy("lang", "lang_pred").agg(count(lit(1)).as("cnt"))
     }),
 
-    "q_fingerprint" -> ((s, dir) => { // rows-only (winnowing kernel)
+    "q_fingerprint" -> ((s, dir) => { // oracle: mod-Mersenne Horner mirror
       val docs = s.read.parquet(s"$dir/documents.parquet")
       docs.select(col("doc_id"),
         TextAnalysis.fingerprint(col("text")).as("fp"))
@@ -838,6 +838,35 @@ object SparkEntry {
                  doc_id % 11 <> 0 AS repaired
           FROM documents WHERE doc_id < 2000)
         GROUP BY verdict, repaired""",
+
+      "q_fingerprint" -> {
+        // winnowing mirror: the kernel's rolling hash is polynomial mod
+        // 2^31-1 precisely so this non-rolling Horner (same value mod M,
+        // every intermediate < 2^52 — no wraparound needed) can replicate
+        // it; window minima over the hash list, distinct sorted
+        val k = 5; val w = 4
+        val horner = (0 until k).foldLeft("CAST(0 AS BIGINT)") { (acc, j) =>
+          s"((($acc) * 1000003 + unicode(substr(s, CAST(i + $j AS INTEGER), 1))) % 2147483647)"
+        }
+        s"""WITH t AS (SELECT doc_id, lower(text) AS s FROM documents),
+            h AS (
+              SELECT doc_id, length(s) AS n,
+                     list_transform(range(1, length(s) - ${k - 1} + 1),
+                       i -> $horner) AS hs
+              FROM t),
+            f AS (
+              SELECT doc_id,
+                     CASE WHEN n < $k THEN []
+                          WHEN n - ${k - 1} <= $w THEN [list_min(hs)]
+                          ELSE list_sort(list_distinct(list_transform(
+                            range(1, n - ${k - 1} - $w + 2),
+                            j -> list_min(hs[j:j+${w - 1}])))) END AS fp
+              FROM h)
+            SELECT doc_id, CAST(len(fp) AS INTEGER) AS n_fp,
+                   CASE WHEN len(fp) = 0 THEN CAST(0 AS BIGINT)
+                        ELSE list_reduce(fp, (a, b) -> xor(a, b)) END AS fp_xor
+            FROM f"""
+      },
 
       "q_langid" -> s"""
         SELECT lang, $langPredExpr AS lang_pred, count(*) AS cnt

@@ -130,25 +130,35 @@ object TextAnalysis {
 
   /** Winnowing fingerprint (Schleimer et al. 2003, public algorithm):
     * rolling polynomial hash over character k-grams, minimum per window of
-    * w hashes (rightmost min), distinct sorted. The standard local
-    * document fingerprint for near-dup detection/plagiarism. */
+    * w hashes, distinct sorted. The standard local document fingerprint
+    * for near-dup detection/plagiarism.
+    *
+    * The hash is polynomial mod the Mersenne prime 2^31-1 (base 1000003):
+    * all intermediates fit in 52 bits, so the arithmetic is exactly
+    * replicable by engines WITHOUT wraparound multiplication (the DuckDB
+    * oracle mirrors it as a non-rolling Horner per k-gram — the same
+    * value mod M). */
+  private val WinnowM = 2147483647L // 2^31 - 1
+  private val WinnowB = 1000003L
+
   private val winnowUdf = udf { (text: String, k: Int, w: Int) =>
     if (text == null || text.length < k) Array.empty[Long]
     else {
       val s = text.toLowerCase
       val n = s.length - k + 1
       val hs = new Array[Long](n)
-      val B = 1000003L
+      val B = WinnowB; val M = WinnowM
       var pow = 1L
       var i = 1
-      while (i < k) { pow *= B; i += 1 }
+      while (i < k) { pow = pow * B % M; i += 1 }
       var h = 0L
       i = 0
-      while (i < k) { h = h * B + s.charAt(i).toLong; i += 1 }
+      while (i < k) { h = (h * B + s.charAt(i).toLong) % M; i += 1 }
       hs(0) = h
       i = 1
       while (i < n) {
-        h = (h - s.charAt(i - 1).toLong * pow) * B + s.charAt(i + k - 1).toLong
+        val t = (h + M - s.charAt(i - 1).toLong * pow % M) % M
+        h = (t * B + s.charAt(i + k - 1).toLong) % M
         hs(i) = h
         i += 1
       }
