@@ -297,6 +297,76 @@ object S2Joins {
     partial.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
   }
 
+  /** kNN join with BOTH sides large (targets NOT broadcastable): for each
+    * target row, the k nearest docs. Iterative radius escalation — each
+    * round, still-unsatisfied targets emit cap(r) covering query terms and
+    * equi-join the docs' (precomputed) index terms; a target is certified
+    * once its k-th candidate distance provably lies inside the searched
+    * radius (candidates at radius r include every doc within r). Each
+    * round is one term equi-join + per-target top-k — the large×large
+    * analogue of [[knnJoin]]'s broadcast path; targets left after the
+    * radius ladder (isolated in near-empty regions) fall back to the
+    * broadcast path, and by then they are few by construction.
+    *
+    * Returns (qid, doc_id, dist2, rank) like [[knnJoin]]. */
+  def knnJoinLarge(docs: DataFrame, targets: DataFrame, k: Int,
+                   qidCol: String = "qid",
+                   tLatCol: String = "t_lat", tLngCol: String = "t_lng",
+                   idCol: String = "doc_id",
+                   latCol: String = "lat", lngCol: String = "lng",
+                   radii: Seq[Double] = Seq(0.005, 0.02, 0.08, 0.32)): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = docs.sparkSession
+    val indexer = new S2TermIndexer()
+    val docTerms = docIndexTerms(
+      docs.select(col(idCol), col(latCol).cast("double").as(latCol),
+        col(lngCol).cast("double").as(lngCol)), indexer, latCol, lngCol)
+      .select(col(idCol), col(latCol), col(lngCol), col("term"))
+    val capTerms = udf { (lat: Double, lng: Double, r: Double) =>
+      indexer.queryTerms(S2Cap.fromCenterAngle(V3.fromLatLngDegrees(lat, lng), r))
+    }
+    val dist2 = udf { (tLat: Double, tLng: Double, lat: Double, lng: Double) =>
+      (V3.fromLatLngDegrees(tLat, tLng) - V3.fromLatLngDegrees(lat, lng)).norm2
+    }
+    val w = Window.partitionBy(qidCol).orderBy(col("dist2"), col(idCol))
+
+    var unsatisfied = targets.select(col(qidCol),
+      col(tLatCol).cast("double").as(tLatCol), col(tLngCol).cast("double").as(tLngCol))
+    var results: DataFrame = null
+    for (r <- radii if !unsatisfied.isEmpty) {
+      val chord2 = S1ChordAngle.fromRadians(r)
+      val q = unsatisfied.withColumn("term",
+        explode(capTerms(col(tLatCol), col(tLngCol), lit(r))))
+      val cands = docTerms.join(q, "term").drop("term")
+        .dropDuplicates(qidCol, idCol)
+        .withColumn("dist2", dist2(col(tLatCol), col(tLngCol), col(latCol), col(lngCol)))
+        .withColumn("rank", row_number().over(w))
+        .where(col("rank") <= k)
+      // certified iff k candidates exist and the k-th is inside radius r
+      val perTarget = cands.groupBy(qidCol)
+        .agg(count(lit(1)).as("n"), max("dist2").as("kth"))
+        .where(col("n") >= k && col("kth") <= chord2)
+      val roundResult = cands.join(perTarget.select(qidCol), qidCol)
+        .select(qidCol, idCol, "dist2", "rank").cache()
+      results = if (results == null) roundResult
+        else results.unionByName(roundResult)
+      unsatisfied = unsatisfied.join(perTarget.select(qidCol), Seq(qidCol),
+        "left_anti").cache()
+    }
+    // stragglers: isolated targets in near-empty regions — few by
+    // construction; the broadcast path finishes them exactly
+    val leftovers = unsatisfied.collect()
+    if (leftovers.nonEmpty) {
+      val ts = leftovers.map(row =>
+        (row.get(0).asInstanceOf[Number].intValue(),
+          V3.fromLatLngDegrees(row.getDouble(1), row.getDouble(2)))).toSeq
+      val fb = knnJoin(docs, ts, k, idCol, latCol, lngCol)
+        .select(col("qid").as(qidCol), col("doc_id").as(idCol), col("dist2"), col("rank"))
+      results = if (results == null) fb else results.unionByName(fb)
+    }
+    if (results == null) spark.emptyDataFrame else results
+  }
+
   /** Distance join: docs within `radiusRad` of any target cap center.
     * Broadcast caps as an interval index of their coverings; refine with
     * the exact chord test. */

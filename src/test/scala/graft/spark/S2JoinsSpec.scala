@@ -144,6 +144,28 @@ class S2JoinsSpec extends AnyFunSuite {
     assert(!labels.contains(9L)) // singleton
   }
 
+  test("knnJoinLarge (large x large, radius ladder) = broadcast knnJoin") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    // targets biased toward doc clusters + one isolated (fallback path)
+    val sample = docs.select("lat", "lng").limit(25).collect()
+      .map(r => (r.getDouble(0), r.getDouble(1)))
+    val targets = sample.zipWithIndex.map { case ((la, ln), i) =>
+      (i, la + rnd.nextDouble() * 2 - 1, ln + rnd.nextDouble() * 2 - 1) } :+
+      (25, -89.0, 170.0) // isolated near the pole
+    val tDf = targets.toSeq.toDF("qid", "t_lat", "t_lng")
+    val large = S2Joins.knnJoinLarge(docs, tDf, k = 5)
+      .select("qid", "doc_id", "rank").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getInt(2))).toSet
+    val bcast = S2Joins.knnJoin(docs,
+      targets.toSeq.map { case (q, la, ln) => (q, V3.fromLatLngDegrees(la, ln)) },
+      k = 5)
+      .select("qid", "doc_id", "rank").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getInt(2))).toSet
+    assert(large == bcast)
+    assert(large.size == 26 * 5)
+  }
+
   test("regionTileCounts (fused pass) = broadcastContainsJoin + tileAssign + groupBy") {
     val regions = graft.Bench.benchRegions
     val tiles = graft.Bench.benchTiles
