@@ -27,10 +27,40 @@ object Builder {
     // 1-2. snap + drop degenerate (snapLevel < 0 = identity snap: exact
     // endpoint matching, the reference's IdentitySnapFunction(0) default)
     def snap(p: V3): V3 = if (snapLevel < 0) p else Snap.snapPoint(p, snapLevel)
-    val snapped = edges.iterator
+    val direct = edges.iterator
       .map { case (u, v) => (snap(u), snap(v)) }
       .filter { case (u, v) => u != v }
       .toSeq
+    // 2b. vertex-on-edge splitting (S2Builder semantics: vertices within
+    // the snap radius of an edge split it). This is what lets boundaries
+    // with MISMATCHED subdivision cancel: a long edge facing two shorter
+    // sibling edges splits at their shared vertex and then cancels
+    // segment-by-segment. Tolerance 4x the snap radius bounds the
+    // deviation a snapped midpoint can have from its snapped-endpoint
+    // geodesic. Identity snap uses the leaf-level tolerance.
+    val tol = 4 * Snap.minSnapRadiusForLevel(math.max(0, snapLevel))
+    val tolChord2 = S1ChordAngle.fromRadians(tol)
+    val vertices = direct.iterator.flatMap { case (u, v) => Iterator(u, v) }
+      .toArray.distinct
+    val snapped = direct.flatMap { case (u, v) =>
+      val splits = vertices.iterator
+        .filter(w => w != u && w != v)
+        .filter { w =>
+          val xa2 = (w - u).norm2; val xb2 = (w - v).norm2
+          S2EdgeDistances.interiorDistance2(w, u, v, xa2, xb2) match {
+            case d if d >= 0 => d <= tolChord2
+            case _ => false
+          }
+        }
+        .toArray.sortBy(w => (w - u).norm2)
+      if (splits.isEmpty) Seq((u, v))
+      else {
+        val chain: Array[V3] = (u +: splits) :+ v
+        chain.indices.dropRight(1)
+          .map(i => (chain(i), chain(i + 1)))
+          .filter { case (a, b) => a != b }
+      }
+    }
     // 3. sibling-pair cancellation with multiplicity
     val countByEdge = mutable.HashMap.empty[(V3, V3), Int]
     snapped.foreach { e => countByEdge(e) = countByEdge.getOrElse(e, 0) + 1 }

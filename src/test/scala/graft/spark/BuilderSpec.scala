@@ -91,6 +91,24 @@ class BuilderSpec extends AnyFunSuite {
     assert(filled.contains(V3.fromLatLngDegrees(15, 15)))
   }
 
+  test("mismatched boundary subdivision: long edge splits at facing vertices and cancels") {
+    // A spans lng 0..20 above lat 0 with ONE bottom edge; B1/B2 below
+    // share that boundary as TWO edges meeting at (0,10)
+    val a = S2TextFormat.parsePolygon("0:0, 0:20, 10:20, 10:0")
+    val b1 = S2TextFormat.parsePolygon("-10:0, -10:10, 0:10, 0:0")
+    val b2 = S2TextFormat.parsePolygon("-10:10, -10:20, 0:20, 0:10")
+    val merged = graft.operators.Builder.unionDisjoint(Seq(a, b1, b2))
+    assert(merged.numLoops == 1)
+    val whole = a.area + b1.area + b2.area
+    assert(math.abs(merged.area - whole) / whole < 1e-6)
+    val rnd = new scala.util.Random(41)
+    for (_ <- 0 until 800) {
+      val p = V3.fromLatLngDegrees(rnd.nextDouble() * 24 - 12, rnd.nextDouble() * 24 - 2)
+      val want = a.contains(p) || b1.contains(p) || b2.contains(p)
+      assert(merged.contains(p) == want, s"at $p")
+    }
+  }
+
   test("distributed per-group assembly") {
     import spark.implicits._
     val sq = ring("0:0, 0:10, 10:10, 10:0")
