@@ -333,6 +333,7 @@ object S2Joins {
     var unsatisfied = targets.select(col(qidCol),
       col(tLatCol).cast("double").as(tLatCol), col(tLngCol).cast("double").as(tLngCol))
     var results: DataFrame = null
+    val cached = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     for (r <- radii if !unsatisfied.isEmpty) {
       val chord2 = S1ChordAngle.fromRadians(r)
       val q = unsatisfied.withColumn("term",
@@ -348,10 +349,12 @@ object S2Joins {
         .where(col("n") >= k && col("kth") <= chord2)
       val roundResult = cands.join(perTarget.select(qidCol), qidCol)
         .select(qidCol, idCol, "dist2", "rank").cache()
+      cached += roundResult
       results = if (results == null) roundResult
         else results.unionByName(roundResult)
       unsatisfied = unsatisfied.join(perTarget.select(qidCol), Seq(qidCol),
         "left_anti").cache()
+      cached += unsatisfied
     }
     // stragglers: isolated targets in near-empty regions — few by
     // construction; the broadcast path finishes them exactly
@@ -364,7 +367,15 @@ object S2Joins {
         .select(col("qid").as(qidCol), col("doc_id").as(idCol), col("dist2"), col("rank"))
       results = if (results == null) fb else results.unionByName(fb)
     }
-    if (results == null) spark.emptyDataFrame else results
+    // materialize before releasing the per-round caches the plan reads
+    val out = if (results == null) spark.emptyDataFrame
+      else {
+        val rows = results.cache()
+        rows.count()
+        rows
+      }
+    cached.foreach(df => { df.unpersist(blocking = false); () })
+    out
   }
 
   /** Distance join: docs within `radiusRad` of any target cap center.
