@@ -243,14 +243,72 @@ object S2Joins {
     * ≤ partitions×targets×k rows → global top-k via window. Distance ties
     * break by doc_id ascending (deterministic).
     *
+    * For target sets ≥ `prefilterFrom`, the per-doc O(targets) scan is
+    * replaced by spatially-pruned candidate stabs (the index-pruned
+    * best-first search, s2closest_point_query_base.h:259-327, re-expressed
+    * for the per-TARGET top-k direction). Because correctness is per
+    * target ("its k globally nearest docs"), a doc may only be skipped for
+    * target t when its distance provably exceeds t's k-th distance — which
+    * requires a bound on that k-th distance first. Two passes:
+    *
+    *  1. certify: one counting pass over docs through a geometric ladder
+    *     of per-target cap coverings; each doc exact-distance-buckets
+    *     itself into the smallest ring that contains it, giving per-target
+    *     ring histograms. The smallest ring r_t holding ≥ k docs certifies
+    *     kth(t) ≤ chord(r_t).
+    *  2. collect: stab one interval index of cap(t, r_t) coverings; a doc
+    *     updates target t's heap only when d ≤ chord(r_t) — every true
+    *     top-k member qualifies, so results are exact.
+    *
+    * Targets the ladder cannot certify (< k docs within the largest ring)
+    * fall back to the full scan — by construction they live in near-empty
+    * space, and the fallback is never worse than the unpruned path.
+    * Per-doc work scales with local target density, not target count
+    * (asserted sublinear by the 10⁴-target differential in S2JoinsSpec via
+    * `distEvals`).
+    *
     * Returns (qid, doc_id, dist2, rank). */
   def knnJoin(docs: DataFrame, targets: Seq[(Int, V3)], k: Int,
               idCol: String = "doc_id",
-              latCol: String = "lat", lngCol: String = "lng"): DataFrame = {
+              latCol: String = "lat", lngCol: String = "lng",
+              prefilterFrom: Int = 64,
+              ringRadii: Seq[Double] = Seq(0.005, 0.02, 0.08, 0.32),
+              distEvals: org.apache.spark.util.LongAccumulator = null): DataFrame = {
+    val ts = targets.toArray
+    if (ts.length < prefilterFrom)
+      knnFinish(knnPartialScan(docs, ts, (0 until ts.length).toArray, k,
+        idCol, latCol, lngCol, null, distEvals), k)
+    else
+      knnJoinPruned(docs, ts, k, idCol, latCol, lngCol, ringRadii, distEvals)
+  }
+
+  /** Shared heap ordering: keep the k smallest by (dist2, id asc); the
+    * max-heap orders lexicographically so the worst kept element sits on
+    * top. */
+  private val knnHeapOrd = new Ordering[(Double, Any)] {
+    def compare(a: (Double, Any), b: (Double, Any)): Int = {
+      val c = java.lang.Double.compare(a._1, b._1)
+      if (c != 0) c
+      else a._2.asInstanceOf[Comparable[Any]].compareTo(b._2)
+    }
+  }
+
+  /** Map-side partial top-k: each partition keeps a bounded heap per
+    * target slot listed in `slots`. When `pruner` is non-null it is
+    * (capIndex, perSlotChordBound, tailSlots): docs stab the index and
+    * test only candidate + tail slots, skipping any candidate whose exact
+    * distance exceeds its slot's certified bound. Emits
+    * ≤ partitions×|slots|×k rows (qid, doc_id, dist2). */
+  private def knnPartialScan(docs: DataFrame, ts: Array[(Int, V3)],
+                             slots: Array[Int], k: Int,
+                             idCol: String, latCol: String, lngCol: String,
+                             pruner: (CellIntervalIndex, Array[Double], Array[Int]),
+                             distEvals: org.apache.spark.util.LongAccumulator): DataFrame = {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
     val spark = docs.sparkSession
-    val bT = spark.sparkContext.broadcast(targets.toArray)
+    val bT = spark.sparkContext.broadcast(ts)
+    val bP = spark.sparkContext.broadcast(pruner)
 
     val in = docs.select(col(idCol), col(latCol).cast("double"), col(lngCol).cast("double"))
     val outSchema = StructType(Seq(
@@ -258,43 +316,160 @@ object S2Joins {
       in.schema.fields(0).copy(name = "doc_id"),
       StructField("dist2", DoubleType, nullable = false)))
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
+    val slotsArr = slots
+    val ord = knnHeapOrd
 
-    // heap entry: (dist2, id); we keep the k smallest by (dist2, id asc),
-    // so the max-heap orders lexicographically by (dist2, id) and the worst
-    // kept element — largest distance, then largest id — sits on top
-    val ord = new Ordering[(Double, Any)] {
-      def compare(a: (Double, Any), b: (Double, Any)): Int = {
-        val c = java.lang.Double.compare(a._1, b._1)
-        if (c != 0) c
-        else a._2.asInstanceOf[Comparable[Any]].compareTo(b._2)
+    in.mapPartitions { it =>
+      val tsL = bT.value
+      val pr = bP.value
+      // heap per GLOBAL slot (sparse map avoided: slot count is bounded)
+      val heaps = new Array[scala.collection.mutable.PriorityQueue[(Double, Any)]](tsL.length)
+      slotsArr.foreach { s =>
+        heaps(s) = new scala.collection.mutable.PriorityQueue[(Double, Any)]()(ord) }
+      var evals = 0L
+      @inline def push(slot: Int, d: Double, id: Any): Unit = {
+        val h = heaps(slot)
+        if (h.size < k) h.enqueue((d, id))
+        else if (ord.compare((d, id), h.head) < 0) { h.dequeue(); h.enqueue((d, id)); () }
       }
-    }
-    val partial = in.mapPartitions { it =>
-      val ts = bT.value
-      val heaps = Array.fill(ts.length)(
-        new scala.collection.mutable.PriorityQueue[(Double, Any)]()(ord))
       it.foreach { r =>
-        val id = r.get(0)
-        val p = V3.fromLatLngDegrees(r.getDouble(1), r.getDouble(2))
-        var i = 0
-        while (i < ts.length) {
-          val d = (p - ts(i)._2).norm2
-          val h = heaps(i)
-          if (h.size < k) h.enqueue((d, id))
-          else if (ord.compare((d, id), h.head) < 0) {
-            h.dequeue(); h.enqueue((d, id))
+        if (!r.isNullAt(1) && !r.isNullAt(2)) {
+          val id = r.get(0)
+          val p = V3.fromLatLngDegrees(r.getDouble(1), r.getDouble(2))
+          if (pr == null) {
+            var i = 0
+            while (i < slotsArr.length) {
+              val s = slotsArr(i)
+              evals += 1
+              push(s, (p - tsL(s)._2).norm2, id)
+              i += 1
+            }
+          } else {
+            val (idx, bound, tail) = pr
+            val ordKey = S2CellId.orderKey(S2CellId.fromPoint(p.x, p.y, p.z))
+            val cand = idx.labelsContaining(ordKey)
+            var i = 0
+            while (i < cand.length) {
+              val s = cand(i)
+              evals += 1
+              val d = (p - tsL(s)._2).norm2
+              if (d <= bound(s)) push(s, d, id)
+              i += 1
+            }
+            i = 0
+            while (i < tail.length) {
+              val s = tail(i)
+              evals += 1
+              push(s, (p - tsL(s)._2).norm2, id)
+              i += 1
+            }
           }
-          i += 1
         }
       }
-      heaps.iterator.zipWithIndex.flatMap { case (h, i) =>
-        h.iterator.map { case (d, id) => Row(ts(i)._1, id, d) }
+      if (distEvals != null) distEvals.add(evals)
+      slotsArr.iterator.flatMap { s =>
+        heaps(s).iterator.map { case (d, id) => Row(tsL(s)._1, id, d) }
       }
     }(enc)
+  }
 
+  /** Global top-k finish over the partial heap output: one small shuffle
+    * of ≤ partitions×targets×k scalar rows + a window over that tiny set. */
+  private def knnFinish(partial: DataFrame, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("qid").orderBy(col("dist2"), col("doc_id"))
     partial.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+  }
+
+  /** Ring-certified pruned kNN (see [[knnJoin]] scaladoc for the scheme). */
+  private def knnJoinPruned(docs: DataFrame, ts: Array[(Int, V3)], k: Int,
+                            idCol: String, latCol: String, lngCol: String,
+                            ringRadii: Seq[Double],
+                            distEvals: org.apache.spark.util.LongAccumulator): DataFrame = {
+    val spark = docs.sparkSession
+    val nT = ts.length
+    val nRings = ringRadii.length
+    val radii = ringRadii.toArray
+    val ringChord2 = radii.map(S1ChordAngle.fromRadians)
+    val cov = new S2RegionCoverer(8, 0, 30)
+    val rings: Array[CellIntervalIndex] = radii.map { r =>
+      CellIntervalIndex.build((0 until nT).map { i =>
+        (i, cov.getCovering(S2Cap.fromCenterAngle(ts(i)._2, r)), Array.empty[Long])
+      })
+    }
+    val tPts = ts.map(_._2)
+    val bc = spark.sparkContext.broadcast((rings, ringChord2, tPts))
+
+    // ---- pass 1: per-target ring histograms (exact distances) ----
+    val counts = docs
+      .select(col(latCol).cast("double"), col(lngCol).cast("double"))
+      .queryExecution.toRdd.mapPartitions { it =>
+        val (ringsL, chord2L, pts) = bc.value
+        val histo = new Array[Long](nT * nRings)
+        val dStamp = new Array[Int](nT)
+        val dVal = new Array[Double](nT)
+        val counted = new Array[Int](nT)
+        var docNo = 0
+        var evals = 0L
+        while (it.hasNext) {
+          val row = it.next()
+          if (!row.isNullAt(0) && !row.isNullAt(1)) {
+            docNo += 1
+            val p = V3.fromLatLngDegrees(row.getDouble(0), row.getDouble(1))
+            val ordKey = S2CellId.orderKey(S2CellId.fromPoint(p.x, p.y, p.z))
+            var ri = 0
+            while (ri < nRings) {
+              val cand = ringsL(ri).labelsContaining(ordKey)
+              var ci = 0
+              while (ci < cand.length) {
+                val t = cand(ci)
+                if (counted(t) != docNo) {
+                  val d =
+                    if (dStamp(t) == docNo) dVal(t)
+                    else {
+                      evals += 1
+                      val dd = (p - pts(t)).norm2
+                      dStamp(t) = docNo; dVal(t) = dd; dd
+                    }
+                  if (d <= chord2L(ri)) { histo(t * nRings + ri) += 1; counted(t) = docNo }
+                }
+                ci += 1
+              }
+              ri += 1
+            }
+          }
+        }
+        if (distEvals != null) distEvals.add(evals)
+        Iterator.single(histo)
+      }.reduce { (a, b) =>
+        var i = 0; while (i < a.length) { a(i) += b(i); i += 1 }; a
+      }
+
+    // certified radius slot per target: smallest ring holding >= k docs
+    val ringOf = Array.fill(nT)(-1)
+    var t = 0
+    while (t < nT) {
+      var cum = 0L; var ri = 0
+      while (ri < nRings && ringOf(t) < 0) {
+        cum += counts(t * nRings + ri)
+        if (cum >= k) ringOf(t) = ri
+        ri += 1
+      }
+      t += 1
+    }
+    val certified = (0 until nT).filter(ringOf(_) >= 0).toArray
+    val tail = (0 until nT).filter(ringOf(_) < 0).toArray
+
+    // ---- pass 2: stab cap(t, r_t), heap only certified candidates + tail ----
+    val capIdx = CellIntervalIndex.build(certified.toSeq.map { s =>
+      (s, cov.getCovering(S2Cap.fromCenterAngle(tPts(s), radii(ringOf(s)))),
+        Array.empty[Long])
+    })
+    val bound = new Array[Double](nT)
+    certified.foreach(s => bound(s) = ringChord2(ringOf(s)))
+    val partial = knnPartialScan(docs, ts, (0 until nT).toArray, k,
+      idCol, latCol, lngCol, (capIdx, bound, tail), distEvals)
+    knnFinish(partial, k)
   }
 
   /** kNN join with BOTH sides large (targets NOT broadcastable): for each
@@ -304,9 +479,11 @@ object S2Joins {
     * once its k-th candidate distance provably lies inside the searched
     * radius (candidates at radius r include every doc within r). Each
     * round is one term equi-join + per-target top-k — the large×large
-    * analogue of [[knnJoin]]'s broadcast path; targets left after the
-    * radius ladder (isolated in near-empty regions) fall back to the
-    * broadcast path, and by then they are few by construction.
+    * analogue of [[knnJoin]]'s broadcast path. The ladder always finishes
+    * with a whole-sphere round, so every target with ≥ k docs anywhere
+    * certifies inside the distributed join; only targets with < k docs in
+    * the entire table fall to the (count-gated) driver-side broadcast
+    * fallback.
     *
     * Returns (qid, doc_id, dist2, rank) like [[knnJoin]]. */
   def knnJoinLarge(docs: DataFrame, targets: DataFrame, k: Int,
@@ -314,7 +491,8 @@ object S2Joins {
                    tLatCol: String = "t_lat", tLngCol: String = "t_lng",
                    idCol: String = "doc_id",
                    latCol: String = "lat", lngCol: String = "lng",
-                   radii: Seq[Double] = Seq(0.005, 0.02, 0.08, 0.32)): DataFrame = {
+                   radii: Seq[Double] = Seq(0.005, 0.02, 0.08, 0.32),
+                   maxFallbackTargets: Int = 100000): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val spark = docs.sparkSession
     val indexer = new S2TermIndexer()
@@ -334,7 +512,13 @@ object S2Joins {
       col(tLatCol).cast("double").as(tLatCol), col(tLngCol).cast("double").as(tLngCol))
     var results: DataFrame = null
     val cached = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
-    for (r <- radii if !unsatisfied.isEmpty) {
+    // the ladder always ends at pi: the final round's cap covers the whole
+    // sphere, so every target with >= k docs ANYWHERE certifies inside the
+    // distributed join — the driver-side fallback below can only see
+    // targets for which fewer than k docs exist at all (or user-truncated
+    // ladders), never "the radii under-covered"
+    val fullRadii = if (radii.lastOption.contains(math.Pi)) radii else radii :+ math.Pi
+    for (r <- fullRadii if !unsatisfied.isEmpty) {
       val chord2 = S1ChordAngle.fromRadians(r)
       val q = unsatisfied.withColumn("term",
         explode(capTerms(col(tLatCol), col(tLngCol), lit(r))))
@@ -356,8 +540,14 @@ object S2Joins {
         "left_anti").cache()
       cached += unsatisfied
     }
-    // stragglers: isolated targets in near-empty regions — few by
-    // construction; the broadcast path finishes them exactly
+    // stragglers: only targets with < k docs in the whole table reach here
+    // (the pi round certifies everything else). Count-gate the collect so a
+    // pathological input fails loudly instead of exhausting driver memory.
+    val leftoverCount = unsatisfied.count()
+    require(leftoverCount <= maxFallbackTargets,
+      s"knnJoinLarge: $leftoverCount targets uncertified after the radius " +
+        s"ladder (cap $maxFallbackTargets) — fewer than k=$k docs exist for " +
+        "them; raise maxFallbackTargets or filter such targets upstream")
     val leftovers = unsatisfied.collect()
     if (leftovers.nonEmpty) {
       val ts = leftovers.map(row =>

@@ -116,6 +116,39 @@ class S2JoinsSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("knnJoin pruned path = full scan at 10^4 targets, with sublinear per-row work") {
+    val rnd = new scala.util.Random(7)
+    // 10^4 targets: most near doc clusters, a band of spread-out ones, and
+    // a few in empty ocean (exercising the uncertified-tail fallback)
+    val sample = docs.select("lat", "lng").limit(200).collect()
+      .map(r => (r.getDouble(0), r.getDouble(1)))
+    val targets = (0 until 10000).map { i =>
+      if (i % 50 == 49) // spread: uniform on the sphere
+        (i, V3.fromLatLngDegrees(rnd.nextDouble() * 170 - 85, rnd.nextDouble() * 360 - 180))
+      else {
+        val (la, ln) = sample(i % sample.length)
+        (i, V3.fromLatLngDegrees(
+          math.max(-89, math.min(89, la + rnd.nextDouble() * 4 - 2)),
+          ln + rnd.nextDouble() * 4 - 2))
+      }
+    }
+    val k = 3
+    val acc = spark.sparkContext.longAccumulator("knn_dist_evals")
+    val pruned = S2Joins.knnJoin(docs, targets, k, distEvals = acc)
+      .select("qid", "doc_id", "rank").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getInt(2))).toSet
+    val scan = S2Joins.knnJoin(docs, targets, k, prefilterFrom = Int.MaxValue)
+      .select("qid", "doc_id", "rank").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getInt(2))).toSet
+    assert(pruned == scan)
+    assert(pruned.size == 10000 * k)
+    // unpruned work would be 2 passes x docs x targets = 1e8 exact
+    // distances; require >=10x pruning (in practice far better)
+    val full = 2L * docs.count() * targets.size
+    assert(acc.value < full / 10,
+      s"dist evals ${acc.value} not sublinear vs full $full")
+  }
+
   test("knnJoin breaks exact distance ties by ascending doc id") {
     import spark.implicits._
     // two docs bit-identically equidistant from the target (mirrored lng
@@ -164,6 +197,42 @@ class S2JoinsSpec extends AnyFunSuite {
       .map(r => (r.getInt(0), r.getString(1), r.getInt(2))).toSet
     assert(large == bcast)
     assert(large.size == 26 * 5)
+  }
+
+  test("knnJoinLarge: all-isolated targets certify in the pi round (no driver collect)") {
+    import spark.implicits._
+    // every target sits in doc-empty ocean — the old 'few by construction'
+    // assumption is maximally violated; the pi round must certify them all
+    // distributed, so the count-gated fallback sees zero targets
+    val targets = (0 until 30).map(i => (i, -60.0 + i * 0.3, -120.0 + i * 0.5))
+    val tDf = targets.toDF("qid", "t_lat", "t_lng")
+    // cap of 0 would trip on ANY fallback -> proves nothing was collected
+    val large = S2Joins.knnJoinLarge(docs, tDf, k = 4, maxFallbackTargets = 0)
+      .select("qid", "doc_id", "rank").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getInt(2))).toSet
+    val bcast = S2Joins.knnJoin(docs,
+      targets.map { case (q, la, ln) => (q, V3.fromLatLngDegrees(la, ln)) }, k = 4)
+      .select("qid", "doc_id", "rank").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getInt(2))).toSet
+    assert(large == bcast)
+    assert(large.size == 30 * 4)
+  }
+
+  test("knnJoinLarge count-gates the degenerate fewer-than-k-docs fallback") {
+    import spark.implicits._
+    val tiny = S2Joins.withCellId(
+      Seq(("a", 10.0, 10.0), ("b", 11.0, 11.0)).toDF("doc_id", "lat", "lng"),
+      col("lat"), col("lng"))
+    val tDf = Seq((1, 10.0, 10.0), (2, 50.0, 50.0)).toDF("qid", "t_lat", "t_lng")
+    // k=5 > 2 docs: no target can certify; with cap 0 the gate must fire
+    val e = intercept[IllegalArgumentException] {
+      S2Joins.knnJoinLarge(tiny, tDf, k = 5, maxFallbackTargets = 0)
+    }
+    assert(e.getMessage.contains("uncertified"))
+    // with the default cap the fallback finishes them exactly
+    val got = S2Joins.knnJoinLarge(tiny, tDf, k = 5)
+      .select("qid", "doc_id").collect().map(r => (r.getInt(0), r.getString(1))).toSet
+    assert(got == Set((1, "a"), (1, "b"), (2, "a"), (2, "b")))
   }
 
   test("regionTileCounts (fused pass) = broadcastContainsJoin + tileAssign + groupBy") {
