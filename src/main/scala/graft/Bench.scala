@@ -158,11 +158,16 @@ object Bench {
     val rounds = sys.env.getOrElse("SPARK_GRAFT_BENCH_ROUNDS", "3").toInt
     val repsPerRound = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt
     var matched = 0L
+    var matchedSet = false
     // one session at `cores`: 1 untimed warmup + repsPerRound timed reps,
     // hw ceiling sampled adjacent (between warmup and timed reps)
     def sessionReps(cores: Int): (Seq[Double], Double) = {
       val s = session(cores, aqe = false)
-      matched = pipeline(s, docsPath) // warmup (JIT, codegen, broadcast)
+      val warm = pipeline(s, docsPath) // warmup (JIT, codegen, broadcast)
+      // cross-parallelism equality gate: lo and hi sessions must agree
+      if (!matchedSet) { matched = warm; matchedSet = true }
+      else require(warm == matched,
+        s"cross-parallelism result drift at $cores cores: $warm vs $matched")
       val ceil = cpuRate(cores)
       val times = (1 to repsPerRound).map { _ =>
         val t0 = System.nanoTime()

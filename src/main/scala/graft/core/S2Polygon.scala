@@ -118,7 +118,12 @@ final class S2Polygon(val loops: Array[S2Loop]) extends S2Region {
       val a = l.vertex(0); val b = l.vertex(1)
       val mid = (a + b).normalize
       val n = S2EdgeCrossings.robustCrossProd(a, b).normalize
-      val eps = 1e-9
+      // probe offset scaled to the local feature size: a fixed offset
+      // larger than the first edge would overshoot slivers narrower than
+      // it. Floor at 1e-15 (double-precision resolution near unit
+      // vectors); features narrower than the chosen eps around the
+      // first-edge midpoint remain a documented precondition.
+      val eps = math.min(1e-9, math.max(1e-15, (a - b).norm * 1e-3))
       val p1 = (mid * math.cos(eps)) + (n * math.sin(eps))
       val rep = if (l.bruteForceContains(p1)) p1
                 else (mid * math.cos(eps)) - (n * math.sin(eps))

@@ -53,7 +53,7 @@ case class S2StabMatch(first: Expression, second: Expression, third: Expression,
     // kernel was the measured 32-thread scaling limiter.
     val s = index.segmentOf(cellOrd)
     if (s < 0) return S2StabMatch.EmptyArray
-    val buf = S2StabMatch.scratch.get()
+    var buf = S2StabMatch.scratch.get()
     var cnt = 0
     var p: V3 = null
     var i = index.entryBegin(s)
@@ -66,7 +66,13 @@ case class S2StabMatch(first: Expression, second: Expression, third: Expression,
         val reg = regionOf(lab)
         hit = reg != null && reg.contains(p)
       }
-      if (hit) { buf(cnt) = lab; cnt += 1 }
+      if (hit) {
+        if (cnt == buf.length) { // overlap depth exceeded the scratch: grow
+          buf = java.util.Arrays.copyOf(buf, buf.length * 2)
+          S2StabMatch.scratch.set(buf)
+        }
+        buf(cnt) = lab; cnt += 1
+      }
       i += 1
     }
     if (cnt == 0) S2StabMatch.EmptyArray
@@ -89,7 +95,8 @@ case class S2StabMatch(first: Expression, second: Expression, third: Expression,
 object S2StabMatch {
   val EmptyArray = new GenericArrayData(Array.emptyIntArray)
   // per-thread candidate scratch (expressions are shared across tasks in
-  // a local[n] JVM); 4096 bounds overlap depth, not region count
+  // a local[n] JVM); starts at 4096 and doubles if a segment's overlap
+  // depth ever exceeds it (arbitrary region sets are accepted)
   private[functions] val scratch: ThreadLocal[Array[Int]] =
     ThreadLocal.withInitial(() => new Array[Int](4096))
 }

@@ -177,6 +177,9 @@ object S2Joins {
       val counts = new Array[Long](nR * (nT + 1))
       while (it.hasNext) {
         val row = it.next()
+        // null lat/lng rows are dropped — matching the compositional plan,
+        // whose null-intolerant native expressions never emit them
+        if (!row.isNullAt(0) && !row.isNullAt(1)) {
         val lat = row.getDouble(0); val lng = row.getDouble(1)
         // one trig evaluation per row: the unit vector feeds BOTH the
         // cell id (S2CellId.fromPoint = fromLatLngDegrees bit-exactly)
@@ -215,6 +218,7 @@ object S2Joins {
             }
             e += 1
           }
+        }
         }
       }
       Iterator.single(counts)

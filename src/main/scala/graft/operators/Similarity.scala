@@ -142,20 +142,28 @@ object Similarity {
   }
 
   /** Embedding-cosine near-duplicate pairs: all pairs with cosine ≥
-    * threshold, candidates from SRP buckets (equi-join), exact verify. */
+    * threshold, candidates from SRP buckets (equi-join), exact verify.
+    *
+    * Shuffle discipline (the 100 TB shape): candidate generation and the
+    * pair `distinct` run over an ids-only projection — the bucket
+    * self-join and dedup exchanges carry (table, bucket, id) scalars,
+    * never embeddings. Vectors ride exactly two id-keyed hash joins (once
+    * per pair side) to co-locate them for the exact verify, and each pair
+    * is scored once (dedup happens before the dot kernel). */
   def cosineNearDupPairs(data: DataFrame, idCol: String, vecCol: String,
                          threshold: Double, nPlanes: Int = 8,
                          tables: Int = 4): DataFrame = {
-    val withB = data.select(col(idCol).as("id"), col(vecCol).as("v"),
-        normUdf(col(vecCol)).as("n"))
-      .select(col("*"), posexplode(tableBuckets(col("v"), nPlanes, tables)).as(Seq("_t", "_b")))
-    val a = withB.select(col("_t"), col("_b"), col("id").as("id_a"),
-      col("v").as("v_a"), col("n").as("n_a"))
-    val b = withB.select(col("_t"), col("_b"), col("id").as("id_b"),
-      col("v").as("v_b"), col("n").as("n_b"))
-    a.join(b, Seq("_t", "_b"))
-      .where(col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "v_a", "v_b", "n_a", "n_b").distinct()
+    val base = data.select(col(idCol).as("id"), col(vecCol).as("v"),
+      normUdf(col(vecCol)).as("n"))
+    val buckets = base.select(col("id"),
+      posexplode(tableBuckets(col("v"), nPlanes, tables)).as(Seq("_t", "_b")))
+    val pairs = buckets.as("a").join(buckets.as("b"), Seq("_t", "_b"))
+      .where(col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    pairs
+      .join(base.select(col("id").as("id_a"), col("v").as("v_a"), col("n").as("n_a")), "id_a")
+      .join(base.select(col("id").as("id_b"), col("v").as("v_b"), col("n").as("n_b")), "id_b")
       .withColumn("cosine", cosinePre(dotUdf(col("v_a"), col("v_b")), col("n_a"), col("n_b")))
       .where(col("cosine") >= threshold)
       .select("id_a", "id_b", "cosine")

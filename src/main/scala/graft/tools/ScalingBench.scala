@@ -70,9 +70,14 @@ object ScalingBench {
     spark.stop()
 
     var matched = 0L
+    var matchedSet = false
     def sessionReps(cores: Int): (Seq[Double], Double) = {
       val s = session(cores)
-      matched = Bench.pipeline(s, docsPath) // warmup
+      val warm = Bench.pipeline(s, docsPath) // warmup
+      // cross-parallelism equality gate: lo and hi sessions must agree
+      if (!matchedSet) { matched = warm; matchedSet = true }
+      else require(warm == matched,
+        s"cross-parallelism result drift at $cores cores: $warm vs $matched")
       val ceil = cpuRate(cores)
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()

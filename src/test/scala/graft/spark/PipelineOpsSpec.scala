@@ -125,6 +125,56 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("cosineNearDupPairs: candidate/dedup exchanges carry ids only, vectors ride 2 joins max") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.types.ArrayType
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    // force shuffle joins + a non-adaptive plan so every exchange is visible
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val pairs = Similarity.cosineNearDupPairs(emb, "vec_id", "embedding", 0.97)
+      val exchanges = pairs.queryExecution.executedPlan.collect {
+        case e: ShuffleExchangeExec => e }
+      assert(exchanges.nonEmpty)
+      val vectorCarrying = exchanges.filter(
+        _.output.exists(_.dataType.isInstanceOf[ArrayType]))
+      // only the two id-keyed vector co-location joins may move embeddings;
+      // the bucket self-join and the pair distinct stay scalar-only
+      assert(vectorCarrying.size <= 2,
+        s"${vectorCarrying.size} exchanges carry vectors:\n" +
+          vectorCarrying.map(_.output.mkString(", ")).mkString("\n"))
+      assert(exchanges.size - vectorCarrying.size >= 2)
+
+      // correctness vs all-pairs brute force on a slice
+      val small = emb.where(col("vec_id") < 120).cache()
+      val got = Similarity.cosineNearDupPairs(small, "vec_id", "embedding", 0.8,
+          nPlanes = 4, tables = 8)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val all = small.select("vec_id", "embedding").collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      def cos(a: Array[Float], b: Array[Float]): Double = {
+        var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+        while (i < a.length) {
+          d += a(i).toDouble * b(i).toDouble
+          na += a(i).toDouble * a(i).toDouble
+          nb += b(i).toDouble * b(i).toDouble; i += 1 }
+        if (na == 0 || nb == 0) 0.0 else d / (math.sqrt(na) * math.sqrt(nb))
+      }
+      val want = (for {
+        (ia, va) <- all; (ib, vb) <- all if ia < ib
+        if cos(va, vb) >= 0.8
+      } yield (ia, ib)).toSet
+      // LSH-candidate subset of the true pair set; recall is separately spec'd
+      assert(got.subsetOf(want), s"false positives: ${got -- want}")
+      if (want.nonEmpty)
+        assert(got.size.toDouble / want.size >= 0.5, s"recall ${got.size}/${want.size}")
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
+
   test("ANN SRP-LSH achieves decent recall vs brute force") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
     val queries = emb.where(col("vec_id") < 5)
