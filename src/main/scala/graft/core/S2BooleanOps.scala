@@ -8,26 +8,40 @@ import scala.collection.mutable
   * SYMMETRIC_DIFFERENCE of valid polygons, producing polygon geometry.
   *
   * Algorithm (crossing-based clipping, the classical Weiler–Atherton walk
-  * specialised to the sphere):
-  *   1. find all proper crossings between A-edges and B-edges and compute
-  *      each crossing point once with [[S2EdgeIntersections.getIntersection]]
-  *      (the SAME V3 instance is injected into both edges' subdivisions, so
-  *      graph stitching can key on exact object equality);
-  *   2. subdivide edges at their crossing points (ordered along the edge);
-  *   3. keep each sub-edge according to the operation by classifying its
-  *      geodesic midpoint against the OTHER polygon (parity containment);
-  *      loops with no crossings are kept/dropped wholesale by classifying
-  *      a representative vertex;
-  *   4. stitch kept directed sub-edges into output loops: in generic
-  *      position every kept vertex has exactly one outgoing kept edge, so
-  *      the walk is deterministic.
+  * specialised to the sphere, with native degeneracy decomposition — the
+  * role S2Builder graph edges play in the reference,
+  * /root/reference/src/s2/s2boolean_operation.cc:52-108):
+  *   1. split events between A-edges and B-edges:
+  *      - proper interior crossings: computed once with
+  *        [[S2EdgeIntersections.getIntersection]]; the SAME V3 instance is
+  *        injected into both edges' subdivisions, so graph stitching can
+  *        key on exact value equality;
+  *      - a vertex of one operand lying EXACTLY in the interior of the
+  *        other's edge (a T-junction, or an endpoint of a collinear
+  *        overlap) splits that edge at the shared vertex instance.
+  *        Collinearity is decided by the exact non-perturbed determinant
+  *        ([[S2Predicates.onGreatCircle]]) — after these splits, every
+  *        collinear-overlapping portion is a pair of bitwise-identical
+  *        elementary segments;
+  *   2. subdivide edges at their event points (ordered along the edge)
+  *      into elementary directed subsegments, operand interior on the
+  *      left;
+  *   3. keep each elementary segment by the uniform left/right-membership
+  *      rule: compute (inA, inB) for the region on each side — from edge
+  *      orientation when the segment lies on that operand's boundary
+  *      (including B-coincident segments, same or opposite direction),
+  *      from parity containment of the geodesic midpoint otherwise — and
+  *      keep the direction whose left side is in the result and right
+  *      side is not. Coincident segments are emitted at most once;
+  *   4. stitch kept directed sub-edges into output loops (balanced
+  *      directed multigraph walk, same-source-loop preference at shared
+  *      vertices).
   *
-  * Scope (documented restriction vs the reference): inputs must be valid
-  * polygons in GENERIC POSITION — all A/B boundary intersections are
-  * proper interior crossings (no shared vertices, no vertex-on-edge, no
-  * collinear overlapping edges). The reference handles those degeneracies
-  * via S2Builder snap rounding (s2builder.cc); dirty inputs should be
-  * snapped first (see graft.operators.Snap).
+  * Scope: inputs must be VALID polygons (no self-intersections); shared
+  * vertices, vertex-on-edge touches, and collinear overlapping edges
+  * between the two operands are handled natively. Only the Polygon model
+  * is implemented here (closed boundaries, degenerate outputs discarded);
+  * polyline clipping lives in [[PolylineBooleanOps]].
   */
 object S2BooleanOps {
   sealed trait Op
@@ -54,8 +68,9 @@ object S2BooleanOps {
     case _ => clip(op, a, b)
   }
 
-  // one directed edge of an input polygon, with its crossing points
+  // one directed edge of an input polygon, with its split-event points
   private final class Edge(val v0: V3, val v1: V3) {
+    val x: V3 = v0.cross(v1) // triage normal for the on-circle test
     var crossings: mutable.ArrayBuffer[V3] = null
     def addCrossing(p: V3): Unit = {
       if (crossings == null) crossings = new mutable.ArrayBuffer[V3](2)
@@ -81,68 +96,102 @@ object S2BooleanOps {
     val aEdges = edgesOf(a)
     val bEdges = edgesOf(b)
 
-    // 1. proper crossings; each intersection point computed exactly once
+    // 1. split events (see object scaladoc). T-junction/overlap-endpoint
+    // events and proper crossings are mutually exclusive per pair: two
+    // distinct great circles meet in one point per hemisphere, so an
+    // endpoint-on-edge contact rules out an additional interior crossing,
+    // and same-circle (collinear) pairs have no transversal crossing.
     for (la <- aEdges; ea <- la; lb <- bEdges; eb <- lb) {
-      if (S2EdgeCrossings.crossingSign(ea.v0, ea.v1, eb.v0, eb.v1) > 0) {
+      val e0 = S2Predicates.onGreatCircle(ea.v0, ea.v1, ea.x, eb.v0) &&
+        S2Predicates.collinearBetween(ea.v0, ea.v1, eb.v0)
+      val e1 = S2Predicates.onGreatCircle(ea.v0, ea.v1, ea.x, eb.v1) &&
+        S2Predicates.collinearBetween(ea.v0, ea.v1, eb.v1)
+      val f0 = S2Predicates.onGreatCircle(eb.v0, eb.v1, eb.x, ea.v0) &&
+        S2Predicates.collinearBetween(eb.v0, eb.v1, ea.v0)
+      val f1 = S2Predicates.onGreatCircle(eb.v0, eb.v1, eb.x, ea.v1) &&
+        S2Predicates.collinearBetween(eb.v0, eb.v1, ea.v1)
+      if (e0) ea.addCrossing(eb.v0)
+      if (e1) ea.addCrossing(eb.v1)
+      if (f0) eb.addCrossing(ea.v0)
+      if (f1) eb.addCrossing(ea.v1)
+      if (!e0 && !e1 && !f0 && !f1 &&
+          S2EdgeCrossings.crossingSign(ea.v0, ea.v1, eb.v0, eb.v1) > 0) {
         val p = S2EdgeIntersections.getIntersection(ea.v0, ea.v1, eb.v0, eb.v1)
         ea.addCrossing(p)
         eb.addCrossing(p)
       }
     }
 
-    // 2+3. subdivide and select. Each kept edge carries a source tag
-    // (operand, loop index) so the stitcher can prefer same-source
-    // continuation at vertices shared between loops.
-    val kept = new mutable.ArrayBuffer[(V3, V3, Int)]()
-    // keepInside: keep sub-edges whose midpoint is inside `other`
-    def selectEdges(loops: Array[Array[Edge]], other: S2Polygon,
-                    keepInside: Boolean, reverse: Boolean, tagBase: Int): Unit = {
-      for ((loop, li) <- loops.zipWithIndex) {
+    // 2. elementary directed subsegments, operand interior on the left.
+    // Each carries a source tag (operand, loop index) so the stitcher can
+    // prefer same-source continuation at shared vertices.
+    final case class Sub(u: V3, v: V3, tag: Int)
+    def subsegments(loops: Array[Array[Edge]], tagBase: Int): mutable.ArrayBuffer[Sub] = {
+      val out = new mutable.ArrayBuffer[Sub]()
+      for ((loop, li) <- loops.zipWithIndex; e <- loop) {
         val tag = tagBase + li
-        val loopHasCrossings = loop.exists(_.crossings != null)
-        if (!loopHasCrossings) {
-          // whole-loop classification by the midpoint of the first edge —
-          // NOT a vertex: in vertex-touching configurations a vertex may
-          // lie exactly on the other polygon's boundary, while interior
-          // edge points do not
-          val rep = geodesicMidpoint(loop(0).v0, loop(0).v1)
-          if (other.contains(rep) == keepInside) {
-            for (e <- loop)
-              kept += (if (reverse) (e.v1, e.v0, tag) else (e.v0, e.v1, tag))
+        val pts: Array[V3] =
+          if (e.crossings == null) Array(e.v0, e.v1)
+          else {
+            // distinct: adjacent edges of the other operand inject their
+            // shared vertex once per incident edge
+            val sorted = e.crossings.distinct.toArray
+              .sortBy(p => (p - e.v0).norm2) // chord from start is monotone along the arc
+            (e.v0 +: sorted) :+ e.v1
           }
-        } else {
-          for (e <- loop) {
-            val pts: Array[V3] =
-              if (e.crossings == null) Array(e.v0, e.v1)
-              else {
-                val sorted = e.crossings.toArray
-                  .sortBy(p => (p - e.v0).norm2) // chord from start is monotone along the arc
-                (e.v0 +: sorted) :+ e.v1
-              }
-            var i = 0
-            while (i < pts.length - 1) {
-              val u = pts(i); val v = pts(i + 1)
-              if (u != v && other.contains(geodesicMidpoint(u, v)) == keepInside)
-                kept += (if (reverse) (v, u, tag) else (u, v, tag))
-              i += 1
-            }
-          }
+        var i = 0
+        while (i < pts.length - 1) {
+          if (pts(i) != pts(i + 1)) out += Sub(pts(i), pts(i + 1), tag)
+          i += 1
         }
       }
+      out
     }
+    val aSubs = subsegments(aEdges, 0)
+    val bSubs = subsegments(bEdges, 1 << 20)
 
-    op match {
-      case Intersection =>
-        selectEdges(aEdges, b, keepInside = true, reverse = false, 0)
-        selectEdges(bEdges, a, keepInside = true, reverse = false, 1 << 20)
-      case Union =>
-        selectEdges(aEdges, b, keepInside = false, reverse = false, 0)
-        selectEdges(bEdges, a, keepInside = false, reverse = false, 1 << 20)
-      case Difference =>
-        selectEdges(aEdges, b, keepInside = false, reverse = false, 0)
-        selectEdges(bEdges, a, keepInside = true, reverse = true, 1 << 20)
-      case SymmetricDifference =>
-        throw new IllegalStateException("handled in apply()")
+    // coincidence maps over undirected elementary keys (coincident
+    // segments are bitwise-identical after event splitting)
+    def keyOf(u: V3, v: V3): (V3, V3) = if (u.lexLess(v)) (u, v) else (v, u)
+    def dirOf(u: V3, v: V3): Int = if (u.lexLess(v)) 1 else -1
+    val bByKey = new java.util.HashMap[(V3, V3), Integer](bSubs.size * 2)
+    bSubs.foreach(s => bByKey.put(keyOf(s.u, s.v), Integer.valueOf(dirOf(s.u, s.v))))
+    val aKeys = new java.util.HashSet[(V3, V3)](aSubs.size * 2)
+    aSubs.foreach(s => aKeys.add(keyOf(s.u, s.v)))
+
+    // 3. uniform left/right-membership selection
+    def inResult(inA: Boolean, inB: Boolean): Boolean = op match {
+      case Union => inA || inB
+      case Intersection => inA && inB
+      case Difference => inA && !inB
+      case SymmetricDifference => throw new IllegalStateException("handled in apply()")
+    }
+    val kept = new mutable.ArrayBuffer[(V3, V3, Int)]()
+    def emit(u: V3, v: V3, tag: Int, leftIn: Boolean, rightIn: Boolean): Unit = {
+      if (leftIn && !rightIn) kept += ((u, v, tag))
+      else if (rightIn && !leftIn) kept += ((v, u, tag))
+    }
+    for (s <- aSubs) {
+      val bDir = bByKey.get(keyOf(s.u, s.v))
+      if (bDir != null) {
+        // segment lies on BOTH boundaries: B's interior is on the left
+        // exactly when the coincident B segment runs the same direction
+        val sameDir = bDir.intValue == dirOf(s.u, s.v)
+        emit(s.u, s.v, s.tag, inResult(inA = true, inB = sameDir),
+          inResult(inA = false, inB = !sameDir))
+      } else {
+        // strictly off B's boundary: midpoint parity is well-defined
+        val inB = b.contains(geodesicMidpoint(s.u, s.v))
+        emit(s.u, s.v, s.tag, inResult(inA = true, inB = inB),
+          inResult(inA = false, inB = inB))
+      }
+    }
+    for (s <- bSubs) {
+      if (!aKeys.contains(keyOf(s.u, s.v))) { // coincident ones already decided
+        val inA = a.contains(geodesicMidpoint(s.u, s.v))
+        emit(s.u, s.v, s.tag, inResult(inA = inA, inB = true),
+          inResult(inA = inA, inB = false))
+      }
     }
 
     // 4. stitch directed sub-edges into loops. The kept set forms a
@@ -163,8 +212,8 @@ object S2BooleanOps {
     def takeOut(u: V3, prefTag: Int): Out = {
       val lst = outs.get(u)
       require(lst != null && lst.nonEmpty,
-        s"open boundary chain at $u — collinear/overlapping edges are not " +
-          "supported (snap-round inputs first)")
+        s"open boundary chain at $u — inputs are not valid polygons " +
+          "(self-intersecting operand?)")
       val i = {
         val j = lst.indexWhere(_.tag == prefTag)
         if (j >= 0) j else 0

@@ -122,6 +122,27 @@ object S2Predicates {
   }
   def sign(a: V3, b: V3, c: V3): Int = sign(a, b, c, a.cross(b))
 
+  /** True iff c lies EXACTLY on the great circle through a,b — the exact
+    * (non-perturbed) determinant is zero. Unlike [[sign]], this answers
+    * the non-generic question the boolean ops' degeneracy handling needs:
+    * symbolic perturbation would hide true collinearity. Points bitwise
+    * equal to a or b count as on-circle. Triage first: a certain nonzero
+    * double determinant proves off-circle without exact arithmetic. */
+  def onGreatCircle(a: V3, b: V3, aCrossB: V3, c: V3): Boolean =
+    triageSign(a, b, c, aCrossB) == 0 &&
+      expensiveSign(a, b, c, perturb = false) == 0
+
+  /** For c on the great circle of the edge (a,b) (arc < π): is c strictly
+    * interior to the arc? Exact dot comparison — c is between iff both
+    * c·a > a·b and c·b > a·b (angles to both endpoints smaller than the
+    * arc), endpoints excluded. */
+  def collinearBetween(a: V3, b: V3, c: V3): Boolean = {
+    if (c == a || c == b) return false
+    val xa = toExact(a); val xb = toExact(b); val xc = toExact(c)
+    val ab = xa.dot(xb)
+    xc.dot(xa).compareTo(ab) > 0 && xc.dot(xb).compareTo(ab) > 0
+  }
+
   /** True if the edges OA, OB, OC are encountered in that order going CCW
     * around O (reference s2predicates.cc:299-312). */
   def orderedCCW(a: V3, b: V3, c: V3, o: V3): Boolean = {

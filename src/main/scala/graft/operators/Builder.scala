@@ -42,8 +42,39 @@ object Builder {
     val tolChord2 = S1ChordAngle.fromRadians(tol)
     val vertices = direct.iterator.flatMap { case (u, v) => Iterator(u, v) }
       .toArray.distinct
+    // candidate pruning for large soups: the naive scan tests every
+    // (edge, vertex) pair — quadratic for continent-sized boundaries.
+    // Past the threshold, vertices are sorted by leaf-cell order key and
+    // each edge probes only the vertices inside a covering of its
+    // tol-expanded bounding cap (exact distance test unchanged, so the
+    // split set is identical).
+    val usePrune = direct.size.toLong * vertices.length > (1L << 22)
+    val (vOrds, vByOrd) =
+      if (!usePrune) (null: Array[Long], null: Array[V3])
+      else {
+        val sorted = vertices.map(w =>
+          (S2CellId.orderKey(S2CellId.fromPoint(w.x, w.y, w.z)), w)).sortBy(_._1)
+        (sorted.map(_._1), sorted.map(_._2))
+      }
+    val cov = if (usePrune) new S2RegionCoverer(8, 0, 30) else null
+    def candidatesNear(u: V3, v: V3): Iterator[V3] =
+      if (!usePrune) vertices.iterator
+      else {
+        val c0 = u + v
+        val center = if (c0.norm2 < 1e-30) u else c0.normalize
+        val radius = math.min(math.Pi, center.angle(u) + 2 * tol)
+        val cells = cov.getCovering(S2Cap.fromCenterAngle(center, radius))
+        cells.iterator.flatMap { c =>
+          val lo = S2CellId.orderKey(S2CellId.rangeMin(c))
+          val hi = S2CellId.orderKey(S2CellId.rangeMax(c))
+          var i = java.util.Arrays.binarySearch(vOrds, lo)
+          if (i < 0) i = -i - 1
+          Iterator.from(i).takeWhile(j => j < vOrds.length && vOrds(j) <= hi)
+            .map(vByOrd)
+        }
+      }
     val snapped = direct.flatMap { case (u, v) =>
-      val splits = vertices.iterator
+      val splits = candidatesNear(u, v)
         .filter(w => w != u && w != v)
         .filter { w =>
           val xa2 = (w - u).norm2; val xb2 = (w - v).norm2
@@ -52,7 +83,7 @@ object Builder {
             case _ => false
           }
         }
-        .toArray.sortBy(w => (w - u).norm2)
+        .toArray.distinct.sortBy(w => (w - u).norm2)
       if (splits.isEmpty) Seq((u, v))
       else {
         val chain: Array[V3] = (u +: splits) :+ v
@@ -120,8 +151,11 @@ object Builder {
     * [[graft.core.S2BooleanOps]] clipper excludes. Each polygon
     * contributes its interior-left directed edges; shared boundaries
     * appear as sibling pairs and cancel, leaving exactly the outer
-    * boundary. Boundaries must match vertex-exactly at the snap level
-    * (snap-align inputs first otherwise). */
+    * boundary. Boundaries digitized at MISMATCHED densities also cancel:
+    * vertex-on-edge splitting decomposes a long edge at every facing
+    * vertex within the snap tolerance before cancellation (see
+    * assemblePolygon step 2b) — vertex-exact matching is not required as
+    * long as the two digitizations agree to within the snap radius. */
   def unionDisjoint(polys: Seq[S2Polygon], snapLevel: Int = 30): S2Polygon = {
     val edges = for {
       p <- polys

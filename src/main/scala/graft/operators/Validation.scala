@@ -17,12 +17,14 @@ object Validation {
 
   /** Validate one loop's vertex array; None = valid.
     *
-    * NOTE: the self-intersection scan is O(n²) in edge count — sized for
-    * per-row geometry (≤ ~10³ vertices). The reference prunes candidate
-    * pairs through its shape index for larger loops; batch-validating big
-    * geometry should pre-filter candidates with [[CellIntervalIndex]]
-    * coverings the same way. */
-  def validateLoop(vertices: Array[V3]): Option[String] = {
+    * The self-intersection scan is O(n²) in edge count only below
+    * `pruneFrom` vertices; larger loops prune candidate pairs through a
+    * [[CellIntervalIndex]] over per-edge cap coverings (the reference
+    * prunes through its shape index the same way,
+    * s2shapeutil_visit_crossing_edge_pairs.cc) — cost scales with local
+    * edge density instead of n². The exact crossing predicate is
+    * unchanged, so verdicts are identical. */
+  def validateLoop(vertices: Array[V3], pruneFrom: Int = 256): Option[String] = {
     if (vertices.length == 1) return None // empty/full sentinels are valid
     if (vertices.length < 3) return Some("TOO_FEW_VERTICES")
     var i = 0
@@ -52,20 +54,46 @@ object Validation {
     }
     // self-intersection: any non-adjacent edge pair properly crossing.
     val n = vertices.length
-    var a = 0
-    while (a < n) {
-      val a2 = (a + 1) % n
-      var b = a + 1
-      while (b < n) {
-        val b2 = (b + 1) % n
-        val adjacent = a2 == b || b2 == a || a == b
-        if (!adjacent &&
-            S2EdgeCrossings.crossingSign(vertices(a), vertices(a2),
-              vertices(b), vertices(b2)) > 0)
-          return Some("SELF_INTERSECTION")
-        b += 1
+    @inline def adjacentPair(a: Int, b: Int): Boolean = // assumes a < b
+      b == a + 1 || (a == 0 && b == n - 1)
+    @inline def crossesAt(a: Int, b: Int): Boolean =
+      S2EdgeCrossings.crossingSign(vertices(a), vertices((a + 1) % n),
+        vertices(b), vertices((b + 1) % n)) > 0
+    if (n < pruneFrom) {
+      var a = 0
+      while (a < n) {
+        var b = a + 1
+        while (b < n) {
+          if (!adjacentPair(a, b) && crossesAt(a, b))
+            return Some("SELF_INTERSECTION")
+          b += 1
+        }
+        a += 1
       }
-      a += 1
+    } else {
+      // candidate pruning: two edges can only cross if their bounding-cap
+      // coverings intersect. 1e-12 slack absorbs cap-boundary rounding.
+      val cov = new S2RegionCoverer(4, 0, 30)
+      val coverings = Array.tabulate(n) { i =>
+        val u = vertices(i); val v = vertices((i + 1) % n)
+        val c0 = u + v
+        val center = if (c0.norm2 < 1e-30) u else c0.normalize
+        cov.getCovering(S2Cap.fromCenterAngle(center, center.angle(u) + 1e-12))
+      }
+      val idx = CellIntervalIndex.build(
+        (0 until n).map(i => (i, coverings(i), Array.empty[Long])))
+      var a = 0
+      while (a < n) {
+        val cands = idx.intersectingLabels(coverings(a))
+        var ci = 0
+        while (ci < cands.length) {
+          val b = cands(ci)
+          if (b > a && !adjacentPair(a, b) && crossesAt(a, b))
+            return Some("SELF_INTERSECTION")
+          ci += 1
+        }
+        a += 1
+      }
     }
     None
   }

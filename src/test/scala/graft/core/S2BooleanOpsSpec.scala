@@ -128,6 +128,82 @@ class S2BooleanOpsSpec extends AnyFunSuite {
     }
   }
 
+  // ---- collinear / shared-subsegment degeneracies (native, no snap) ----
+  // equator (lat=0) and prime-meridian (lng=0) points are EXACTLY
+  // collinear in double arithmetic (z resp. y component is exactly 0),
+  // so these exercise the exact on-circle event splitting.
+
+  test("full shared edge: adjacent squares union to one rectangle") {
+    val below = poly("-10:0, -10:10, 0:10, 0:0") // top edge == A's bottom edge
+    checkPointwise(A, below)
+    val uni = S2BooleanOps.union(A, below)
+    assert(uni.numLoops == 1) // merged outline, shared edge dissolved
+    assert(math.abs(uni.area - (A.area + below.area)) < 1e-12)
+    assert(S2BooleanOps.intersection(A, below).isEmpty) // degenerate line discarded
+    // difference leaves A untouched
+    assert(math.abs(S2BooleanOps.difference(A, below).area - A.area) < 1e-12)
+  }
+
+  test("shared boundary digitized at different densities (sub-segment + T-junctions)") {
+    // C's top edge [0:2 -> 0:8] is a strict sub-segment of A's bottom
+    // edge [0:0 -> 0:10]: both its endpoints are T-junctions on A's edge
+    val c = poly("-10:2, -10:8, 0:8, 0:2")
+    checkPointwise(A, c)
+    val uni = S2BooleanOps.union(A, c)
+    assert(uni.numLoops == 1)
+    assert(math.abs(uni.area - (A.area + c.area)) < 1e-12)
+    // and a denser redigitization of A's own bottom edge: same square,
+    // bottom edge split into 3 collinear pieces
+    val aDense = poly("0:0, 0:3, 0:7, 0:10, 10:10, 10:0")
+    checkPointwise(aDense, c)
+    assert(math.abs(S2BooleanOps.union(aDense, c).area - (A.area + c.area)) < 1e-12)
+  }
+
+  test("partial edge overlap: each edge has one endpoint interior to the other") {
+    // E's top edge [0:5 -> 0:15] overlaps A's bottom edge on [0:5, 0:10]
+    val e = poly("-10:5, -10:15, 0:15, 0:5")
+    checkPointwise(A, e)
+    val uni = S2BooleanOps.union(A, e)
+    assert(uni.numLoops == 1) // L-shape
+    assert(math.abs(uni.area - (A.area + e.area)) < 1e-12)
+    assert(S2BooleanOps.intersection(A, e).isEmpty)
+  }
+
+  test("identical polygons: union/intersection = self, difference/symdiff empty") {
+    val a2 = poly("0:0, 0:10, 10:10, 10:0") // fresh instance, same values
+    assert(math.abs(S2BooleanOps.union(A, a2).area - A.area) < 1e-12)
+    assert(math.abs(S2BooleanOps.intersection(A, a2).area - A.area) < 1e-12)
+    assert(S2BooleanOps.difference(A, a2).isEmpty)
+    assert(S2BooleanOps.symmetricDifference(A, a2).isEmpty)
+    for (p <- samplePoints(500, 7)) {
+      assert(S2BooleanOps.union(A, a2).contains(p) == A.contains(p))
+      assert(S2BooleanOps.intersection(A, a2).contains(p) == A.contains(p))
+    }
+  }
+
+  test("interior square sharing two partial boundary edges and a corner") {
+    // F sits in A's corner: edges [0:0 -> 0:4] (equator) and [4:0 -> 0:0]
+    // (prime meridian) are sub-segments of A's boundary, same direction
+    val f = poly("0:0, 0:4, 4:4, 4:0")
+    checkPointwise(A, f)
+    assert(math.abs(S2BooleanOps.intersection(A, f).area - f.area) < 1e-12)
+    assert(math.abs(S2BooleanOps.union(A, f).area - A.area) < 1e-12)
+    val diff = S2BooleanOps.difference(A, f)
+    assert(math.abs(diff.area - (A.area - f.area)) < 1e-12)
+    assert(diff.numLoops == 1) // corner bite: still one ring, no hole
+  }
+
+  test("collinear abutting edges end-to-end do not spuriously interact") {
+    // G is beside A along the equator but only TOUCHES at the segment
+    // [0:10 -> 0:20]: A's bottom edge and G's bottom edge are collinear
+    // and abut at 0:10 without overlapping
+    val g = poly("0:10, 0:20, 10:20, 10:10")
+    checkPointwise(A, g)
+    val uni = S2BooleanOps.union(A, g)
+    assert(uni.numLoops == 1) // shares the vertical edge 0:10->10:10
+    assert(math.abs(uni.area - (A.area + g.area)) < 1e-12)
+  }
+
   test("randomized differential: 40 random convex polygon pairs, pointwise semantics") {
     val rnd = new scala.util.Random(123)
     def randomConvex(cLat: Double, cLng: Double, span: Double): S2Polygon = {
@@ -169,6 +245,43 @@ class S2BooleanOpsSpec extends AnyFunSuite {
         s"trial $trial area identity")
     }
     assert(nonTrivial >= 5, s"want some overlapping trials, got $nonTrivial")
+  }
+
+  test("randomized differential: 30 collinear-overlap rectangle pairs on the equator") {
+    // rectangles whose horizontal edges all lie EXACTLY on the equator:
+    // integer-degree endpoints make coincident endpoints, strict
+    // sub-segments, partial overlaps, and abutments all occur across
+    // trials — every boundary interaction is degenerate by construction
+    val rnd = new scala.util.Random(99)
+    def rect(lngLo: Int, lngHi: Int, latLo: Int, latHi: Int): S2Polygon =
+      poly(s"$latLo:$lngLo, $latLo:$lngHi, $latHi:$lngHi, $latHi:$lngLo")
+    var overlapping = 0
+    for (trial <- 0 until 30) {
+      val l1 = rnd.nextInt(20); val w1 = 1 + rnd.nextInt(15)
+      val l2 = rnd.nextInt(20); val w2 = 1 + rnd.nextInt(15)
+      // one above, one below the equator (shared-edge case), or both
+      // above with a shared meridian-ish vertical overlap region
+      val below = trial % 3 != 2
+      val pa = rect(l1, l1 + w1, 0, 5 + rnd.nextInt(10))
+      val pb = if (below) rect(l2, l2 + w2, -(5 + rnd.nextInt(10)), 0)
+               else rect(l2, l2 + w2, 0, 5 + rnd.nextInt(10))
+      if (math.max(l1, l2) < math.min(l1 + w1, l2 + w2)) overlapping += 1
+      val inter = S2BooleanOps.intersection(pa, pb)
+      val uni = S2BooleanOps.union(pa, pb)
+      val diff = S2BooleanOps.difference(pa, pb)
+      val probes = (0 until 400).map { _ =>
+        V3.fromLatLngDegrees(rnd.nextDouble() * 40 - 20, rnd.nextDouble() * 45 - 5)
+      }
+      for (p <- probes) {
+        val ia = pa.contains(p); val ib = pb.contains(p)
+        assert(inter.contains(p) == (ia && ib), s"trial $trial inter at $p")
+        assert(uni.contains(p) == (ia || ib), s"trial $trial union at $p")
+        assert(diff.contains(p) == (ia && !ib), s"trial $trial diff at $p")
+      }
+      assert(math.abs(inter.area + uni.area - (pa.area + pb.area)) < 1e-9,
+        s"trial $trial area identity")
+    }
+    assert(overlapping >= 10, s"want overlapping lng ranges, got $overlapping")
   }
 
   test("getIntersection: equator x meridian crossing is (1,0,0) to within kIntersectionError") {

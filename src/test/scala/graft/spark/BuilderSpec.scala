@@ -109,6 +109,26 @@ class BuilderSpec extends AnyFunSuite {
     }
   }
 
+  test("large tile grid (pruned split scan) merges within a time budget") {
+    // 40x40 = 1600 squares -> 6400 edges x ~1700 vertices: above the
+    // pruning threshold, so the covering-indexed candidate path runs
+    def sq(lat0: Double, lng0: Double) = S2TextFormat.parsePolygon(
+      s"$lat0:$lng0, $lat0:${lng0 + 1}, ${lat0 + 1}:${lng0 + 1}, ${lat0 + 1}:$lng0")
+    val tiles = for (i <- 0 until 40; j <- 0 until 40) yield sq(i, j)
+    val t0 = System.nanoTime()
+    val merged = graft.operators.Builder.unionDisjoint(tiles)
+    val sec = (System.nanoTime() - t0) / 1e9
+    assert(sec < 60, s"pruned assembly took $sec s")
+    assert(merged.numLoops == 1)
+    val whole = tiles.map(_.area).sum
+    assert(math.abs(merged.area - whole) / whole < 1e-8)
+    val rnd = new scala.util.Random(13)
+    for (_ <- 0 until 300) {
+      val p = V3.fromLatLngDegrees(rnd.nextDouble() * 44 - 2, rnd.nextDouble() * 44 - 2)
+      assert(merged.contains(p) == tiles.exists(_.contains(p)), s"at $p")
+    }
+  }
+
   test("distributed per-group assembly") {
     import spark.implicits._
     val sq = ring("0:0, 0:10, 10:10, 10:0")

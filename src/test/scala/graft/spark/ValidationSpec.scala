@@ -32,6 +32,44 @@ class ValidationSpec extends AnyFunSuite {
     assert(Validation.validOnly(rows.toDF("name", "poly"), "poly").count() == 1)
   }
 
+  test("pruned self-intersection scan = naive scan on random loops") {
+    val rnd = new scala.util.Random(17)
+    for (trial <- 0 until 30) {
+      // random star-ish loop, sometimes scrambled to force crossings
+      val n = 20 + rnd.nextInt(40)
+      val pts = (0 until n).map { i =>
+        val ang = 2 * math.Pi * i / n
+        val r = 3 + rnd.nextDouble() * 6
+        V3.fromLatLngDegrees(10 + r * math.sin(ang), 10 + r * math.cos(ang))
+      }.toArray
+      val loop = if (trial % 3 == 0) { // swap two vertices -> likely bowtie
+        val a = 1 + rnd.nextInt(n - 2); val b = 1 + rnd.nextInt(n - 2)
+        val l = pts.clone(); val t = l(a); l(a) = l(b); l(b) = t; l
+      } else pts
+      val naive = Validation.validateLoop(loop, pruneFrom = Int.MaxValue)
+      val pruned = Validation.validateLoop(loop, pruneFrom = 1)
+      assert(naive == pruned, s"trial $trial: naive=$naive pruned=$pruned")
+    }
+  }
+
+  test("10^4-vertex loops validate within a time budget, same verdicts") {
+    val n = 10000
+    def circle(scramble: Boolean): Array[V3] = {
+      val pts = Array.tabulate(n) { i =>
+        val ang = 2 * math.Pi * i / n
+        V3.fromLatLngDegrees(20 * math.sin(ang), 20 * math.cos(ang))
+      }
+      if (scramble) { val t = pts(100); pts(100) = pts(5000); pts(5000) = t }
+      pts
+    }
+    val t0 = System.nanoTime()
+    assert(Validation.validateLoop(circle(scramble = false)).isEmpty)
+    assert(Validation.validateLoop(circle(scramble = true))
+      .contains("SELF_INTERSECTION"))
+    val sec = (System.nanoTime() - t0) / 1e9
+    assert(sec < 30, s"pruned validation took $sec s") // naive n^2 is minutes
+  }
+
   test("E6/E7 fixed point round trips on the doc grid") {
     import spark.implicits._
     val df = Seq(48.8566, -33.865, 0.01, -179.99, 85.0).toDF("deg")
