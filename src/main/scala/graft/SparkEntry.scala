@@ -54,6 +54,28 @@ object SparkEntry {
     V3.fromLatLngDegrees(5.005, 10.005), V3.fromLatLngDegrees(5.005, 60.005),
     V3.fromLatLngDegrees(40.005, 60.005), V3.fromLatLngDegrees(40.005, 10.005))
 
+  // trajectory for the polyline-clip query: enters P1 through its west
+  // (meridian) edge, exits through its north edge — CLOSED-model clip
+  // yields one inside piece and two outside stubs. The .2-offset vertices
+  // keep every clipped piece >= .005 deg away from grazing the doc grid
+  // at the query radius.
+  private val clipLine: Array[V3] = Array(
+    V3.fromLatLngDegrees(8.2, -25.2), V3.fromLatLngDegrees(15.2, 20.2),
+    V3.fromLatLngDegrees(55.2, 35.2))
+  private val clipR2: Double = { val s = math.sin(0.5 * 0.15); 4.0 * s * s }
+  /** CLOSED-model clip pieces of [[clipLine]] against P1: intersection
+    * pieces get ids 1.., difference pieces 101.. (same V3s embedded in the
+    * oracle SQL, so both engines evaluate identical IEEE expressions). */
+  private lazy val clipShapes: Seq[graft.operators.EdgeQueries.Shape] = {
+    val poly = new S2Polygon(Array(S2Loop(P1)))
+    val inter = graft.core.PolylineBooleanOps.intersection(clipLine, poly)
+    val diff = graft.core.PolylineBooleanOps.difference(clipLine, poly)
+    inter.zipWithIndex.map { case (vs, i) =>
+      graft.operators.EdgeQueries.Shape(i + 1, vs, closed = false) } ++
+      diff.zipWithIndex.map { case (vs, i) =>
+        graft.operators.EdgeQueries.Shape(101 + i, vs, closed = false) }
+  }
+
   // 2x2 grid of edge-sharing convex CCW tiles (same .005-offset guarantee)
   // for the disjoint-union (tile merge) query
   private val tileQuads: Seq[Array[V3]] =
@@ -286,6 +308,19 @@ object SparkEntry {
         4 -> S2BooleanOps.symmetricDifference(pa, pb))
       S2Joins.broadcastContainsJoin(docsGeo(s, dir), ops)
         .groupBy(col("qid").as("op_id"))
+        .agg(count(lit(1)).as("cnt"), sum("doc_id").as("sum_id"))
+    }),
+
+    "q_polyline_clip" -> ((s, dir) => {
+      // PolylineModel boolean operation: clip the trajectory against P1
+      // (CLOSED model), then classify docs within chord 0.05 rad of each
+      // clipped piece — the clipped GEOMETRY (crossing vertices included)
+      // is exercised end-to-end. Oracle recomputes per-piece membership
+      // with the mirrored edge-distance kernel over the same embedded
+      // piece vertices.
+      EdgeQueries.closestShapesJoin(docsGeo(s, dir), clipShapes,
+        k = clipShapes.length, maxDist2 = clipR2, idCol = "doc_id")
+        .groupBy(col("shape_id").as("piece_id"))
         .agg(count(lit(1)).as("cnt"), sum("doc_id").as("sum_id"))
     }),
 
@@ -783,6 +818,20 @@ object SparkEntry {
           UNION ALL
           SELECT 4 AS op_id, doc_id FROM $docsXyzSql p WHERE (${pipWhere(P1)}) <> (${pipWhere(P3)}))
         GROUP BY op_id""",
+
+      "q_polyline_clip" -> {
+        val perPiece = clipShapes.map { sh =>
+          val edges = sh.vertices.sliding(2)
+            .map(w => edgeDist2Sql(w(0), w(1))).toSeq
+          s"""SELECT ${sh.id} AS piece_id, count(*) AS cnt,
+                     CAST(sum(doc_id) AS BIGINT) AS sum_id
+              FROM $docsXyzSql p
+              WHERE least(${edges.mkString(", ")}) <= $clipR2"""
+        }
+        s"""SELECT piece_id, cnt, sum_id
+            FROM (${perPiece.mkString(" UNION ALL ")})
+            WHERE cnt > 0"""
+      },
 
       "q_s2_cell_tokens" -> s"""
         SELECT d.doc_id, v.leaf_token, v.l10_token,

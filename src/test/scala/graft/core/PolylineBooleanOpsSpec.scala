@@ -1,0 +1,110 @@
+package graft.core
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** PolylineModel boolean-operation cases (reference semantics:
+  * s2boolean_operation.h:211-270 — polyline × polygon clipping with
+  * open/semi-open/closed boundary models; geometric piece output). */
+class PolylineBooleanOpsSpec extends AnyFunSuite {
+  import PolylineBooleanOps._
+
+  private val square = S2TextFormat.parsePolygon("0:0, 0:10, 10:10, 10:0")
+
+  private def line(pts: (Double, Double)*): Array[V3] =
+    pts.map { case (lat, lng) => V3.fromLatLngDegrees(lat, lng) }.toArray
+
+  private def totalAngle(pieces: Seq[Array[V3]]): Double =
+    pieces.map(p => p.sliding(2).map(w => w(0).angle(w(1))).sum).sum
+
+  test("transversal crossing: inside piece + two outside pieces partition the line") {
+    val l = line((5, -5), (5, 15))
+    val inter = intersection(l, square)
+    val diff = difference(l, square)
+    assert(inter.size == 1)
+    assert(diff.size == 2)
+    // crossing points sit on the polygon's meridian edges (lng 0 and 10)
+    val piece = inter.head
+    assert(math.abs(V3.lngDegrees(piece.head) - 0) < 1e-9)
+    assert(math.abs(V3.lngDegrees(piece.last) - 10) < 1e-9)
+    // the pieces partition the original line exactly
+    val whole = totalAngle(Seq(l))
+    assert(math.abs(totalAngle(inter) + totalAngle(diff) - whole) < 1e-12)
+    // midpoints classify correctly
+    assert(square.contains((piece(0) + piece(1)).normalize))
+    diff.foreach(p => assert(!square.contains((p(0) + p(1)).normalize)))
+  }
+
+  test("entirely inside / entirely outside") {
+    val in = line((2, 2), (3, 7), (8, 8))
+    assert(intersection(in, square).map(_.toSeq) == Seq(in.toSeq))
+    assert(difference(in, square).isEmpty)
+    val out = line((20, 20), (25, 25))
+    assert(intersection(out, square).isEmpty)
+    assert(difference(out, square).map(_.toSeq) == Seq(out.toSeq))
+  }
+
+  test("boundary-collinear run: OPEN drops it, CLOSED keeps it, SEMI_OPEN is directional") {
+    // runs along the equator across A's bottom edge [0:0 -> 0:10]
+    val l = line((0, -5), (0, 15))
+    val closed = intersection(l, square, Closed)
+    assert(closed.size == 1)
+    // the kept piece is exactly the polygon's own edge (vertices injected)
+    assert(closed.head.head == V3.fromLatLngDegrees(0, 0))
+    assert(closed.head.last == V3.fromLatLngDegrees(0, 10))
+    assert(intersection(l, square, Open).isEmpty)
+    // bottom edge runs west->east with interior (north) on the left:
+    // same-direction line is contained in SEMI_OPEN, reversed is not
+    assert(intersection(l, square, SemiOpen).size == 1)
+    val rev = line((0, 15), (0, -5))
+    assert(intersection(rev, square, SemiOpen).isEmpty)
+    assert(intersection(rev, square, Closed).size == 1)
+    // difference complements per model
+    assert(difference(l, square, Closed).size == 2)   // the two outside stubs
+    assert(difference(l, square, Open).size == 1)     // whole line stays out
+  }
+
+  test("partial overlap entering the interior (mixed collinear + transversal)") {
+    // along the equator to the boundary corner, then up through the interior
+    val l = line((0, -5), (0, 5), (5, 5), (5, 15))
+    val closed = intersection(l, square, Closed)
+    // boundary run [0:0 -> 0:5] + interior run [0:5 -> 5:5 -> 5:10]
+    assert(totalAngle(closed) > 0)
+    val open = intersection(l, square, Open)
+    // OPEN drops only the boundary-collinear run
+    val gap = totalAngle(closed) - totalAngle(open)
+    val expectedGap = V3.fromLatLngDegrees(0, 0).angle(V3.fromLatLngDegrees(0, 5))
+    assert(math.abs(gap - expectedGap) < 1e-12)
+    // vertical interior run is kept in both
+    open.foreach(p => p.sliding(2).foreach(w =>
+      assert(square.contains((w(0) + w(1)).normalize))))
+  }
+
+  test("polyline ending exactly on the boundary (T-junction endpoint)") {
+    val l = line((5, -5), (5, 0)) // ends on the lng=0 edge... on the meridian edge
+    // prime-meridian points are exactly on the square's left edge circle
+    val inter = intersection(l, square, Closed)
+    assert(inter.isEmpty) // no 2-point piece inside; degenerate endpoint discarded
+    val diff = difference(l, square, Closed)
+    assert(diff.size == 1)
+    assert(math.abs(totalAngle(diff) - totalAngle(Seq(l))) < 1e-12)
+  }
+
+  test("hole-aware clipping: piece over the hole is cut out") {
+    val donut = new S2Polygon(Array(
+      S2Loop(line((0, 0), (0, 30), (30, 30), (30, 0))),
+      S2Loop(line((10, 10), (10, 20), (20, 20), (20, 10)))))
+    val l = line((15, -5), (15, 35))
+    val inter = intersection(l, donut, Closed)
+    assert(inter.size == 2) // left band + right band, hole crossing removed
+    val diff = difference(l, donut, Closed)
+    assert(diff.size == 3) // two outside stubs + the hole crossing
+    val whole = totalAngle(Seq(l))
+    assert(math.abs(totalAngle(inter) + totalAngle(diff) - whole) < 1e-12)
+  }
+
+  test("empty polygon: intersection empty, difference = whole line") {
+    val l = line((5, 5), (6, 6))
+    assert(intersection(l, S2Polygon.empty).isEmpty)
+    assert(difference(l, S2Polygon.empty).map(_.toSeq) == Seq(l.toSeq))
+  }
+}
