@@ -462,7 +462,7 @@ object SparkEntry {
         Dedup.jaccard(col("text_a"), col("text_b"), 3).as("jaccard"))
     }),
 
-    "q_dedup_minhash" -> ((s, dir) => { // rows-only (xxhash64 has no oracle)
+    "q_dedup_minhash" -> ((s, dir) => { // oracle: mod-Mersenne LSH mirror
       val docs = s.read.parquet(s"$dir/documents.parquet")
       val aug = docs.select("doc_id", "text").unionByName(
         docs.where(col("doc_id") % 5 === 0)
@@ -471,7 +471,7 @@ object SparkEntry {
       Dedup.nearDuplicates(aug, "doc_id", "text", threshold = 0.5)
     }),
 
-    "q_dedup_simhash" -> ((s, dir) => { // rows-only
+    "q_dedup_simhash" -> ((s, dir) => { // oracle: mod-Mersenne simhash mirror
       val docs = s.read.parquet(s"$dir/documents.parquet")
       val aug = docs.select("doc_id", "text").unionByName(
         docs.where(col("doc_id") % 7 === 0)
@@ -945,6 +945,100 @@ object SparkEntry {
                     ELSE CAST(len(list_intersect(sa, sb)) AS DOUBLE) /
                          len(list_distinct(list_concat(sa, sb))) END AS jaccard
         FROM sh""",
+
+      "q_dedup_minhash" -> {
+        // mod-Mersenne MinHash+LSH mirror: identical Horner shingle
+        // hashes, identical affine family constants, identical banded
+        // Horner keys — every intermediate < 2^62, so DuckDB BIGINT
+        // arithmetic replays the kernel bit-for-bit (fingerprint-oracle
+        // move). Pipeline mirrored end-to-end: aug -> band keys ->
+        // candidate equi-join -> exact Jaccard >= 0.5.
+        val M = graft.operators.Dedup.HashM
+        val B = graft.operators.Dedup.HashB
+        val shingleHorner =
+          s"""list_reduce(list_transform(range(1, length(s) + 1),
+              ci -> CAST(unicode(substr(s, CAST(ci AS INTEGER), 1)) AS BIGINT)),
+              (a, c) -> (a * $B + c) % $M)"""
+        val minsExprs = (0 until 64).map { k =>
+          val a = graft.operators.Dedup.FamilyA(k)
+          val b = graft.operators.Dedup.FamilyB(k)
+          s"list_min(list_transform(hs, h -> ($a * h + $b) % $M))"
+        }
+        val bandExprs = (0 until 16).map { b =>
+          val key = (0 until 4).foldLeft("CAST(0 AS BIGINT)") { (acc, r) =>
+            s"((($acc) * $B + mins[${b * 4 + r + 1}]) % $M)"
+          }
+          s"(CAST($b AS BIGINT) * 4294967296 + $key)"
+        }
+        s"""WITH aug AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 2000000 AS doc_id, text || ' zz qq' AS text
+              FROM documents WHERE doc_id % 5 = 0),
+            sgl AS (SELECT doc_id, ${shingleSql("text")} AS sgl FROM aug),
+            hs AS (SELECT doc_id, list_transform(sgl, s -> $shingleHorner) AS hs
+                   FROM sgl WHERE len(sgl) > 0),
+            m AS (SELECT doc_id, [${minsExprs.mkString(", ")}] AS mins FROM hs),
+            bands AS (SELECT doc_id, unnest([${bandExprs.mkString(", ")}]) AS bk FROM m),
+            cands AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                      FROM bands a JOIN bands b ON a.bk = b.bk AND a.doc_id < b.doc_id),
+            j AS (SELECT id_a, id_b,
+                         ${shingleSql("ta.text")} AS sa, ${shingleSql("tb.text")} AS sb
+                  FROM cands
+                  JOIN aug ta ON ta.doc_id = id_a
+                  JOIN aug tb ON tb.doc_id = id_b),
+            scored AS (SELECT id_a, id_b,
+                 CASE WHEN len(sa) = 0 AND len(sb) = 0 THEN 0.0
+                      ELSE CAST(len(list_intersect(sa, sb)) AS DOUBLE) /
+                           (len(sa) + len(sb) - len(list_intersect(sa, sb))) END AS jaccard
+              FROM j)
+            SELECT id_a, id_b, jaccard FROM scored WHERE jaccard >= 0.5"""
+      },
+
+      "q_dedup_simhash" -> {
+        // mod-Mersenne SimHash mirror: per-token Horner hashes under two
+        // bases give bits 0-30 / 31-61; majority vote per bit; candidates
+        // share one of four 16-bit chunks; exact Hamming <= 3
+        val M = graft.operators.Dedup.HashM
+        def tokHorner(base: Long): String =
+          s"""CASE WHEN length(t) = 0 THEN CAST(0 AS BIGINT)
+              ELSE list_reduce(list_transform(range(1, length(t) + 1),
+                ci -> CAST(unicode(substr(t, CAST(ci AS INTEGER), 1)) AS BIGINT)),
+                (a, c) -> (a * $base + c) % $M) END"""
+        s"""WITH aug AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 1000000 AS doc_id, text FROM documents
+              WHERE doc_id % 7 = 0),
+            tok AS (SELECT doc_id,
+                      string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS w
+                    FROM aug),
+            th AS (SELECT doc_id,
+                     list_transform(w, t -> ${tokHorner(graft.operators.Dedup.HashB)}) AS h1s,
+                     list_transform(w, t -> ${tokHorner(graft.operators.Dedup.HashB2)}) AS h2s
+                   FROM tok),
+            sig AS (SELECT doc_id, CAST(
+                 list_sum(list_transform(range(0, 31), b ->
+                   CASE WHEN list_sum(list_transform(h1s, h ->
+                          CASE WHEN ((h >> CAST(b AS INTEGER)) & 1) = 1 THEN 1 ELSE -1 END)) > 0
+                        THEN (CAST(1 AS BIGINT) << CAST(b AS INTEGER)) ELSE 0 END))
+               + list_sum(list_transform(range(31, 62), b ->
+                   CASE WHEN list_sum(list_transform(h2s, h ->
+                          CASE WHEN ((h >> CAST(b - 31 AS INTEGER)) & 1) = 1 THEN 1 ELSE -1 END)) > 0
+                        THEN (CAST(1 AS BIGINT) << CAST(b AS INTEGER)) ELSE 0 END))
+               AS BIGINT) AS sig FROM th),
+            chunks AS (SELECT doc_id, sig, unnest([
+                 ((sig >> 0)  & 65535) + 0,
+                 ((sig >> 16) & 65535) + 65536,
+                 ((sig >> 32) & 65535) + 131072,
+                 ((sig >> 48) & 65535) + 196608]) AS ck FROM sig),
+            pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                             a.sig AS sa, b.sig AS sb
+                      FROM chunks a JOIN chunks b
+                        ON a.ck = b.ck AND a.doc_id < b.doc_id)
+            SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS INTEGER) AS hamming
+            FROM pairs WHERE bit_count(xor(sa, sb)) <= 3"""
+      },
 
       "q_text_stats" -> """
         SELECT lang, count(*) AS cnt,

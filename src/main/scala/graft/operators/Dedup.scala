@@ -73,11 +73,40 @@ object Dedup {
           xxhash64(array_join(slice(sig, b * lit(rows) + 1, lit(rows)), ","))
             .as("sig"))))
 
-  /** Kernel fast path for the hot loop: per shingle one 64-bit string
-    * hash, then `numHashes` cheap mixes — ~50x the throughput of the
-    * interpreted higher-order-function expression chain, same LSH
-    * semantics (deterministic, run-independent). Emits the banded keys
-    * directly: array of packed (band << 56 | bandHash-low-56) longs. */
+  // =======================================================================
+  // mod-Mersenne hash family — the canonical LSH family of the engine.
+  // Every intermediate fits in 62 bits (multiplier < 2^31, operand < 2^31),
+  // so the arithmetic needs NO wraparound and is replicable bit-for-bit by
+  // engines without 64-bit overflow semantics (the DuckDB oracle mirrors
+  // it with plain BIGINT expressions — the same move that made the
+  // winnowing fingerprint oracle-exact).
+  // =======================================================================
+  private[graft] val HashM = 2147483647L // Mersenne prime 2^31 - 1
+  private[graft] val HashB = 1000003L    // polynomial base (shingles, band keys)
+  private[graft] val HashB2 = 1000033L   // second base (simhash high bits)
+  /** Affine min-hash family (a_k·h + b_k mod M): multipliers/offsets from
+    * two minstd LCG streams (48271 is a primitive root mod M, so values
+    * are never 0) — both engines embed the identical constants. */
+  private[graft] val FamilyA: Array[Long] = {
+    var x = 1L; Array.fill(256) { x = x * 48271 % HashM; x }
+  }
+  private[graft] val FamilyB: Array[Long] = {
+    var x = 7L; Array.fill(256) { x = x * 48271 % HashM; x }
+  }
+  /** Horner polynomial hash of a string mod 2^31-1 (UTF-16 code units). */
+  private[graft] def hornerHash(s: String, base: Long): Long = {
+    var h = 0L
+    var i = 0
+    while (i < s.length) { h = (h * base + s.charAt(i).toLong) % HashM; i += 1 }
+    h
+  }
+
+  /** Kernel fast path for the hot loop: per shingle one Horner base hash,
+    * then `numHashes` affine derivations — ~50x the throughput of the
+    * interpreted higher-order-function expression chain, deterministic and
+    * run-independent, and (mod-Mersenne) exactly DuckDB-expressible.
+    * Emits the banded keys directly: packed (band << 32 | bandKey) longs,
+    * where bandKey is the Horner combination of the band's minima. */
   private val bandKeysKernel = udf {
     (text: String, shingleN: Int, numHashes: Int, bands: Int) =>
       val w =
@@ -97,20 +126,11 @@ object Dedup {
         }
         val mins = Array.fill(numHashes)(Long.MaxValue)
         sh.forEach { s =>
-          // FNV-1a 64 base hash of the shingle
-          var h = -3750763034362895579L
-          var i = 0
-          while (i < s.length) { h ^= s.charAt(i).toLong; h *= 1099511628211L; i += 1 }
-          // splitmix-style derived family: hash_i = mix(h + gamma*i)
+          val h = hornerHash(s, HashB)
           var k = 0
-          var z = h
           while (k < numHashes) {
-            z += -7046029254386353131L
-            var m = z
-            m = (m ^ (m >>> 30)) * -4658895280553007687L
-            m = (m ^ (m >>> 27)) * -7723592293110705685L
-            m ^= (m >>> 31)
-            if (m < mins(k)) mins(k) = m
+            val v = (FamilyA(k) * h + FamilyB(k)) % HashM
+            if (v < mins(k)) mins(k) = v
             k += 1
           }
         }: Unit
@@ -118,14 +138,13 @@ object Dedup {
         val out = new Array[Long](bands)
         var b = 0
         while (b < bands) {
-          var bh = -3750763034362895579L
+          var bh = 0L
           var r = 0
           while (r < rows) {
-            bh ^= mins(b * rows + r)
-            bh *= 1099511628211L
+            bh = (bh * HashB + mins(b * rows + r)) % HashM
             r += 1
           }
-          out(b) = (b.toLong << 56) | (bh & 0x00FFFFFFFFFFFFFFL)
+          out(b) = (b.toLong << 32) | bh
           b += 1
         }
         out
@@ -260,30 +279,38 @@ object Dedup {
   // SimHash
   // =======================================================================
 
-  /** 64-bit SimHash over word tokens (deterministic kernel; one UDF call
+  /** 62-bit SimHash over word tokens (deterministic kernel; one UDF call
     * per row — the per-token loop has no SQL-expression equivalent that
-    * stays O(tokens)). */
+    * stays O(tokens)). Per-token bits come from TWO independent 31-bit
+    * mod-Mersenne Horner hashes (bases [[HashB]]/[[HashB2]]): bits 0-30
+    * from the first, 31-61 from the second — the same family the DuckDB
+    * oracle replicates exactly. */
   private val simHashUdf = udf { (tokens: Seq[String]) =>
-    val acc = new Array[Int](64)
+    val acc = new Array[Int](62)
     tokens.foreach { t =>
-      // xxhash-free deterministic 64-bit string hash (FNV-1a 64)
-      var h = -3750763034362895579L
-      var i = 0
-      while (i < t.length) { h ^= t.charAt(i).toLong; h *= 1099511628211L; i += 1 }
+      val h1 = hornerHash(t, HashB)
+      val h2 = hornerHash(t, HashB2)
       var b = 0
-      while (b < 64) { if (((h >>> b) & 1L) == 1L) acc(b) += 1 else acc(b) -= 1; b += 1 }
+      while (b < 31) {
+        if (((h1 >>> b) & 1L) == 1L) acc(b) += 1 else acc(b) -= 1
+        b += 1
+      }
+      while (b < 62) {
+        if (((h2 >>> (b - 31)) & 1L) == 1L) acc(b) += 1 else acc(b) -= 1
+        b += 1
+      }
     }
     var out = 0L
     var b = 0
-    while (b < 64) { if (acc(b) > 0) out |= (1L << b); b += 1 }
+    while (b < 62) { if (acc(b) > 0) out |= (1L << b); b += 1 }
     out
   }
 
   def simHash(text: Column): Column = simHashUdf(split(normText(text), " "))
 
-  /** SimHash near-dup candidates: docs whose 64-bit signatures agree on at
-    * least one of four 16-bit chunks (guarantees recall for Hamming
-    * distance ≤ 3), verified by exact Hamming ≤ `maxHamming`. */
+  /** SimHash near-dup candidates: docs whose (62-bit) signatures agree on
+    * at least one of four 16-bit chunks (pigeonhole: guarantees recall for
+    * Hamming distance ≤ 3), verified by exact Hamming ≤ `maxHamming`. */
   def simHashPairs(df: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int = 3): DataFrame = {
     val sigs = df.select(col(idCol).as("id"), simHash(col(textCol)).as("sig"))
