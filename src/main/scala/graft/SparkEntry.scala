@@ -311,6 +311,25 @@ object SparkEntry {
         .agg(count(lit(1)).as("cnt"), sum("doc_id").as("sum_id"))
     }),
 
+    "q_s2_region_union" -> ((s, dir) => {
+      // composite region types (S2RegionUnion / S2RegionIntersection):
+      // the combinators drop directly into the broadcast stab machinery —
+      // one join against "A ∪ B" / "A ∩ B", no caller-side covering merge
+      val cap1 = S2Cap(caps(0)._2, caps(0)._3)
+      val rect1 = S2LatLngRect.fromDegrees(
+        rects(0)._2, rects(0)._3, rects(0)._4, rects(0)._5)
+      val pa = new S2Polygon(Array(S2Loop(P1)))
+      val pc = new S2Polygon(Array(S2Loop(P3)))
+      val pb = new S2Polygon(Array(S2Loop(P2)))
+      val regions: Seq[(Int, S2Region)] = Seq(
+        1 -> S2RegionUnion(Seq(cap1, pa)),
+        2 -> S2RegionIntersection(Seq(pa, pc)),
+        3 -> S2RegionUnion(Seq(rect1, pb)))
+      S2Joins.broadcastContainsJoin(docsGeo(s, dir), regions)
+        .groupBy(col("qid"))
+        .agg(count(lit(1)).as("cnt"), sum("doc_id").as("sum_id"))
+    }),
+
     "q_polyline_clip" -> ((s, dir) => {
       // PolylineModel boolean operation: clip the trajectory against P1
       // (CLOSED model), then classify docs within chord 0.05 rad of each
@@ -818,6 +837,25 @@ object SparkEntry {
           UNION ALL
           SELECT 4 AS op_id, doc_id FROM $docsXyzSql p WHERE (${pipWhere(P1)}) <> (${pipWhere(P3)}))
         GROUP BY op_id""",
+
+      "q_s2_region_union" -> {
+        val (_, c1, r2) = caps(0)
+        val (_, latLo, lngLo, latHi, lngHi) = rects(0)
+        val capTest =
+          s"(p.x-(${c1.x}))*(p.x-(${c1.x})) + (p.y-(${c1.y}))*(p.y-(${c1.y})) + (p.z-(${c1.z}))*(p.z-(${c1.z})) <= $r2"
+        val rectTest =
+          s"(p.lat BETWEEN $latLo AND $latHi AND p.lng BETWEEN $lngLo AND $lngHi)"
+        s"""SELECT qid, cnt, sum_id FROM (
+              SELECT 1 AS qid, count(*) AS cnt, CAST(sum(doc_id) AS BIGINT) AS sum_id
+              FROM $docsXyzSql p WHERE ($capTest) OR (${pipWhere(P1)})
+              UNION ALL
+              SELECT 2 AS qid, count(*) AS cnt, CAST(sum(doc_id) AS BIGINT) AS sum_id
+              FROM $docsXyzSql p WHERE (${pipWhere(P1)}) AND (${pipWhere(P3)})
+              UNION ALL
+              SELECT 3 AS qid, count(*) AS cnt, CAST(sum(doc_id) AS BIGINT) AS sum_id
+              FROM $docsXyzSql p WHERE ($rectTest) OR (${pipWhere(P2)}))
+            WHERE cnt > 0"""
+      },
 
       "q_polyline_clip" -> {
         val perPiece = clipShapes.map { sh =>

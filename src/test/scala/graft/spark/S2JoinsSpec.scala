@@ -65,6 +65,27 @@ class S2JoinsSpec extends AnyFunSuite {
     assert(want.nonEmpty)
   }
 
+  test("composite regions (union/intersection) join like their pointwise combination") {
+    val cap = S2Cap.fromCenterAngle(V3.fromLatLngDegrees(10, 20), 0.15)
+    val rect = S2LatLngRect.fromDegrees(-25, 100, 5, 140)
+    val poly = S2TextFormat.parsePolygon("0:0, 0:35, 30:35, 30:0")
+    val regions: Seq[(Int, S2Region)] = Seq(
+      1 -> S2RegionUnion(Seq(cap, poly)),
+      2 -> S2RegionIntersection(Seq(cap, poly)),
+      3 -> S2RegionUnion(Seq(rect, S2RegionIntersection(Seq(cap, poly)))))
+    val got = S2Joins.broadcastContainsJoin(docs, regions)
+      .select("doc_id", "qid").collect()
+      .map(r => (r.getString(0), r.getInt(1))).toSet
+    val want = (for {
+      (id, lat, lng) <- collectDocs()
+      p = V3.fromLatLngDegrees(lat, lng)
+      (q, reg) <- regions
+      if reg.contains(p)
+    } yield (id, q)).toSet
+    assert(got == want)
+    assert(want.exists(_._2 == 2)) // intersection non-trivial
+  }
+
   test("broadcast join preserves the span-sequence invariant") {
     val regions: Seq[(Int, S2Region)] =
       Seq(1 -> S2LatLngRect.fromDegrees(-90, -180, 90, 180))
