@@ -20,7 +20,36 @@ object Bench {
   private val headline = Seq(
     "q1_agg", "q_s2_rect_join", "q_s2_pip_join", "q_s2_knn",
     "q_s2_tile_assign", "q_s2_term_join", "q_dedup_minhash", "q_ann_topk",
-    "q_text_stats")
+    "q_text_stats", "q_closest_shapes_1k", "q_knn_large")
+
+  /** Bench-only heavy-operator queries (not driver-gated: a 10^3-shape
+    * oracle would be megabytes of SQL; correctness is covered by the
+    * differential specs in S2JoinsSpec/PlanAuditSpec). */
+  private val extraQueries: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] = Map(
+    // UNBOUNDED closest-shapes kNN against 10^3 shapes: exercises the
+    // ring-escalation CellIntervalIndex prefilter (per-row work scales
+    // with local density, not shape count)
+    "q_closest_shapes_1k" -> ((s, dir) => {
+      val rnd = new scala.util.Random(5)
+      val shapes = (0 until 1000).map { i =>
+        val lat = rnd.nextDouble() * 140 - 70
+        val lng = rnd.nextDouble() * 360 - 180
+        EdgeQueries.Shape(i, Array(
+          V3.fromLatLngDegrees(lat, lng),
+          V3.fromLatLngDegrees(lat + 0.8, lng + 0.5),
+          V3.fromLatLngDegrees(lat + 0.2, lng - 0.7)), closed = true)
+      }
+      EdgeQueries.closestShapesJoin(SparkEntry.docsGeo(s, dir), shapes, k = 3)
+    }),
+    // large×large kNN: radius-ladder term joins, certified top-k per
+    // target, pi-round guarantee (no driver-side fallback on this input)
+    "q_knn_large" -> ((s, dir) => {
+      val docs = SparkEntry.docsGeo(s, dir)
+      val targets = docs.where(col("doc_id") % 3 === 0)
+        .select(col("doc_id").cast("int").as("qid"),
+          (col("lat") * 0.97).as("t_lat"), (col("lng") * 0.97).as("t_lng"))
+      S2Joins.knnJoinLarge(docs, targets, k = 5)
+    }))
 
   private def session(cores: Int, aqe: Boolean = true): SparkSession = {
     val s = SparkSession.builder()
@@ -101,7 +130,7 @@ object Bench {
     // warmup (JIT + codegen caches) on the small SF
     try SparkEntry.queries("q1_agg")(spark, sfDir).count() catch { case _: Throwable => }
     val results = headline.map { name =>
-      val fn = SparkEntry.queries(name)
+      val fn = SparkEntry.queries.getOrElse(name, extraQueries(name))
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9

@@ -182,7 +182,7 @@ object SparkEntry {
     }
 
   /** documents + derived deterministic geometry (see object doc). */
-  private def docsGeo(s: SparkSession, dir: String): DataFrame =
+  private[graft] def docsGeo(s: SparkSession, dir: String): DataFrame =
     S2Joins.withCellId(
       s.read.parquet(s"$dir/documents.parquet")
         .withColumn("lat", (col("doc_id") * 7919 % 17000) / 100.0 - 85.0)

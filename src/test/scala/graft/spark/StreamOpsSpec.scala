@@ -41,6 +41,43 @@ class StreamOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("composed streaming ingest (tag -> tile -> counts) == batch plan") {
+    // the StreamingDemo composition, spec'd with a deterministic
+    // MemoryStream across multiple micro-batches (NoTimeout stateful ops)
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    import graft.operators.S2Joins
+    val regions = graft.Bench.benchRegions
+    val tiles = graft.Bench.benchTiles
+    def geo(df: org.apache.spark.sql.DataFrame) = df
+      .withColumn("lat", (col("doc_id") * 7919 % 17000) / 100.0 - 85.0)
+      .withColumn("lng", (col("doc_id") * 104729 % 36000) / 100.0 - 180.0)
+    val mem = MemoryStream[Long]
+    val cells = StreamOps.withCellId(geo(mem.toDF().toDF("doc_id")), "lat", "lng")
+    val tagged = S2Joins.tileAssign(
+      graft.streaming.StreamOps.streamingContainsTag(cells, regions), tiles)
+      .select(explode(col("region_hits")).as("qid"), col("tile_id"))
+    val q = tagged.groupBy("qid", "tile_id").count()
+      .writeStream.format("memory").queryName("spec_tile_counts")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      mem.addData(0L until 4000L: _*)
+      q.processAllAvailable()
+      mem.addData(4000L until 12000L: _*) // second micro-batch
+      q.processAllAvailable()
+      val got = spark.table("spec_tile_counts").collect()
+        .map(r => ((r.getInt(0), r.getInt(1)), r.getLong(2))).toMap
+      val batch = S2Joins.tileAssign(
+          S2Joins.broadcastContainsJoin(
+            S2Joins.withCellId(geo(spark.range(12000L).toDF("doc_id")),
+              col("lat"), col("lng")), regions), tiles)
+        .groupBy("qid", "tile_id").count()
+        .collect().map(r => ((r.getInt(0), r.getInt(1)), r.getLong(2))).toMap
+      assert(got == batch)
+      assert(got.nonEmpty)
+    } finally q.stop()
+  }
+
   test("streaming region tagging matches batch broadcast join semantics") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
