@@ -23,12 +23,15 @@ object Builder {
     * drop sliver loops (< 3 vertices), normalize to small interiors.
     * Throws IllegalArgumentException when the snapped graph is not
     * balanced (dangling boundary). */
-  def assemblePolygon(edges: Seq[(V3, V3)], snapLevel: Int = 30): S2Polygon = {
-    // 1-2. snap + drop degenerate (snapLevel < 0 = identity snap: exact
-    // endpoint matching, the reference's IdentitySnapFunction(0) default)
-    def snap(p: V3): V3 = if (snapLevel < 0) p else Snap.snapPoint(p, snapLevel)
+  def assemblePolygon(edges: Seq[(V3, V3)], snapLevel: Int = 30): S2Polygon =
+    assemblePolygon(edges, SnapFunction.fromLevel(snapLevel))
+
+  /** As above with a pluggable [[SnapFunction]] (cell-id, IntLatLng grid,
+    * or identity — the reference's snap-function layer). */
+  def assemblePolygon(edges: Seq[(V3, V3)], snapFn: SnapFunction): S2Polygon = {
+    // 1-2. snap + drop degenerate
     val direct = edges.iterator
-      .map { case (u, v) => (snap(u), snap(v)) }
+      .map { case (u, v) => (snapFn(u), snapFn(v)) }
       .filter { case (u, v) => u != v }
       .toSeq
     // 2b. vertex-on-edge splitting (S2Builder semantics: vertices within
@@ -38,7 +41,7 @@ object Builder {
     // segment-by-segment. Tolerance 4x the snap radius bounds the
     // deviation a snapped midpoint can have from its snapped-endpoint
     // geodesic. Identity snap uses the leaf-level tolerance.
-    val tol = 4 * Snap.minSnapRadiusForLevel(math.max(0, snapLevel))
+    val tol = 4 * snapFn.snapRadius
     val tolChord2 = S1ChordAngle.fromRadians(tol)
     val vertices = direct.iterator.flatMap { case (u, v) => Iterator(u, v) }
       .toArray.distinct
@@ -168,6 +171,71 @@ object Builder {
     assemblePolygon(edges, snapLevel)
   }
 
+  /** Assemble polylines from directed edge soup — the S2Builder polyline
+    * layers (S2PolylineVectorLayer, PolylineType::WALK,
+    * /root/reference/src/s2/s2builderutil_s2polyline_vector_layer.h:41-77):
+    * snap, drop degenerate edges, then decompose the directed multigraph
+    * into maximal edge-disjoint walks. Each vertex with more outgoing
+    * than incoming edges heads that many walks; leftover edges (balanced
+    * sub-digraphs) come out as closed walks. Deterministic: heads and
+    * next-edge choices are taken in lexicographic vertex order.
+    *
+    * `simplifyTolerance` > 0 tolerance-subsamples each assembled chain
+    * (simplify_edge_chains semantics: every dropped vertex stays within
+    * the tolerance of the simplified edge; pass the snap radius to mirror
+    * the reference's guarantee). */
+  def assemblePolylines(edges: Seq[(V3, V3)],
+                        snapFn: SnapFunction = SnapFunction.Identity,
+                        simplifyTolerance: Double = 0.0): Seq[Array[V3]] = {
+    val vOrd: Ordering[V3] =
+      (a: V3, b: V3) => if (a == b) 0 else if (a.lexLess(b)) -1 else 1
+    val direct = edges.iterator
+      .map { case (u, v) => (snapFn(u), snapFn(v)) }
+      .filter { case (u, v) => u != v }
+      .toSeq
+    val outs = mutable.HashMap.empty[V3, mutable.ArrayBuffer[V3]]
+    val inDeg = mutable.HashMap.empty[V3, Int]
+    direct.foreach { case (u, v) =>
+      outs.getOrElseUpdate(u, mutable.ArrayBuffer.empty[V3]) += v
+      inDeg(v) = inDeg.getOrElse(v, 0) + 1
+    }
+    outs.values.foreach(_.sortInPlace()(vOrd))
+    var remaining = direct.size
+    def walk(start: V3): Array[V3] = {
+      val chain = mutable.ArrayBuffer(start)
+      var cur = start
+      var go = true
+      while (go) {
+        outs.get(cur) match {
+          case Some(buf) if buf.nonEmpty =>
+            val nxt = buf.remove(0)
+            if (buf.isEmpty) outs.remove(cur)
+            remaining -= 1
+            chain += nxt
+            cur = nxt
+          case _ => go = false
+        }
+      }
+      chain.toArray
+    }
+    val res = mutable.ArrayBuffer.empty[Array[V3]]
+    // path heads: out-degree surplus, each starting `surplus` walks
+    val heads = outs.keysIterator.toSeq.sorted(vOrd)
+      .map(u => (u, outs(u).size - inDeg.getOrElse(u, 0)))
+      .filter(_._2 > 0)
+    for ((h, surplus) <- heads; _ <- 0 until surplus) res += walk(h)
+    // leftover balanced components: closed walks
+    while (remaining > 0) {
+      val start = outs.keysIterator.toSeq.sorted(vOrd).head
+      res += walk(start)
+    }
+    val chains = res.filter(_.length >= 2).toSeq
+    if (simplifyTolerance <= 0) chains
+    else chains.map { c =>
+      Polylines.subsampleIdx(c, simplifyTolerance).map(c)
+    }
+  }
+
   /** Per-group distributed assembly: rows carry one directed edge each
     * ((latA,lngA) → (latB,lngB)); groups are assembled independently.
     * Returns (group, poly) with the polygon in text format; groups whose
@@ -191,6 +259,36 @@ object Builder {
         val poly = try Some(assemblePolygon(edges, snapLevel))
         catch { case _: IllegalArgumentException => None }
         Row(g, poly.map(S2TextFormat.polygonToString).orNull)
+      }(enc)
+  }
+
+  /** Per-group distributed POLYLINE assembly (dirty-polyline ingestion):
+    * rows carry one directed segment each; each group's soup is
+    * decomposed into maximal walks. Emits one row per assembled polyline:
+    * (group, idx, polyline) with "lat:lng, lat:lng, …" text. */
+  def assemblePolylinesDf(df: DataFrame, groupCol: String,
+                          latA: String, lngA: String, latB: String, lngB: String,
+                          snapFn: SnapFunction = SnapFunction.Identity,
+                          simplifyTolerance: Double = 0.0): DataFrame = {
+    val in = df.select(col(groupCol).cast("string").as("g"),
+      col(latA).cast("double"), col(lngA).cast("double"),
+      col(latB).cast("double"), col(lngB).cast("double"))
+    val outSchema = StructType(Seq(
+      StructField("group", StringType), StructField("idx", IntegerType),
+      StructField("polyline", StringType)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
+    import in.sparkSession.implicits._
+    in.groupByKey(_.getString(0))
+      .flatMapGroups { (g, rows) =>
+        val edges = rows.map { r =>
+          (V3.fromLatLngDegrees(r.getDouble(1), r.getDouble(2)),
+            V3.fromLatLngDegrees(r.getDouble(3), r.getDouble(4)))
+        }.toSeq
+        assemblePolylines(edges, snapFn, simplifyTolerance).zipWithIndex.map {
+          case (chain, i) =>
+            Row(g, i, chain.map(p =>
+              s"${V3.latDegrees(p)}:${V3.lngDegrees(p)}").mkString(", "))
+        }
       }(enc)
   }
 }

@@ -53,8 +53,10 @@ object Polylines {
     * s2polyline.cc: greedy forward scan — keep the longest prefix edge such
     * that every skipped vertex stays within `toleranceRad`). Returns the
     * kept vertex indices. */
-  val subsampleUdf = udf { (lat: Seq[Double], lng: Seq[Double], toleranceRad: Double) =>
-    val v = toV3(lat, lng)
+  /** Greedy forward-scan subsample kernel (shared with the builder's
+    * simplify-edge-chains): kept vertex indices such that every skipped
+    * vertex stays within `toleranceRad` of the simplified edge. */
+  private[graft] def subsampleIdx(v: Array[V3], toleranceRad: Double): Array[Int] = {
     if (v.length <= 2) v.indices.toArray
     else {
       val tol2 = S1ChordAngle.fromRadians(toleranceRad)
@@ -79,6 +81,10 @@ object Polylines {
       }
       keep.toArray
     }
+  }
+
+  val subsampleUdf = udf { (lat: Seq[Double], lng: Seq[Double], toleranceRad: Double) =>
+    subsampleIdx(toV3(lat, lng), toleranceRad)
   }
 
   /** Exact DTW vertex-alignment cost between two chains (cell cost =
@@ -117,9 +123,23 @@ object Polylines {
   @inline private def prevRow(prev: Array[Double], col: Int): Double =
     if (prev == null) Double.MaxValue else prev(col)
 
+  /** Distance-parameterized interpolation (S2ChainInterpolationQuery
+    * AtDistance, s2chain_interpolation_query.h:43): point at `distRad`
+    * radians along the chain, with the containing edge index and the
+    * clamped distance — struct(lat, lng, edge, distance), null for empty
+    * chains. */
+  val atDistanceUdf = udf { (lat: Seq[Double], lng: Seq[Double], distRad: Double) =>
+    val q = new S2ChainInterpolation(Seq(toV3(lat, lng)))
+    q.atDistance(distRad).map { r =>
+      (V3.latDegrees(r.point), V3.lngDegrees(r.point), r.edge, r.distance)
+    }.orNull
+  }
+
   def length(lat: Column, lng: Column): Column = lengthUdf(lat, lng)
   def atFraction(lat: Column, lng: Column, f: Column): Column =
     atFractionUdf(lat, lng, f)
+  def atDistance(lat: Column, lng: Column, distRad: Column): Column =
+    atDistanceUdf(lat, lng, distRad)
   def subsampleIndices(lat: Column, lng: Column, tolRad: Column): Column =
     subsampleUdf(lat, lng, tolRad)
   def dtwCost(aLat: Column, aLng: Column, bLat: Column, bLng: Column): Column =

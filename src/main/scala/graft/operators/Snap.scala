@@ -31,6 +31,23 @@ object Snap {
     S2Cell(S2CellId.parent(leaf, level)).center
   }
 
+  /** IntLatLngSnapFunction (snap_functions.cc IntLatLngSnapFunction):
+    * vertices snap to the E`exponent` integer lat/lng grid (e.g. 7 = E7).
+    * The standard snap for interoperating with integer-coordinate
+    * formats. */
+  def snapPointIntLatLng(p: V3, exponent: Int): V3 = {
+    val scale = math.pow(10, exponent)
+    V3.fromLatLngDegrees(
+      math.rint(V3.latDegrees(p) * scale) / scale,
+      math.rint(V3.lngDegrees(p) * scale) / scale)
+  }
+
+  /** Guaranteed displacement bound of the E`exponent` grid snap: lat and
+    * lng each move <= 0.5·10^-e degrees, so the displacement is at most
+    * (10^-e)/sqrt(2) degrees (reference MinSnapRadiusForExponent). */
+  def minSnapRadiusForExponent(exponent: Int): Double =
+    math.toRadians(math.sqrt(0.5) * math.pow(10.0, -exponent)) + 4 * DblEps
+
   /** Snap a vertex chain: snap each vertex, collapse consecutive
     * duplicates (including wrap-around for closed chains). */
   def snapChain(vertices: Array[V3], level: Int, closed: Boolean): Array[V3] = {
@@ -78,4 +95,34 @@ object Snap {
       .withColumn("repaired_poly",
         when(col("geom_error").isNull, col(polyTextCol))
           .otherwise(repairUdf(level)(col(polyTextCol))))
+}
+
+/** Builder snap functions (s2builderutil_snap_functions.h:39-68): the
+  * pluggable vertex-rounding strategies of the S2Builder layer stack.
+  * Each guarantees every vertex moves at most `snapRadius`. */
+sealed trait SnapFunction extends Serializable {
+  def apply(p: V3): V3
+  /** Guaranteed bound on the snap displacement (radians). */
+  def snapRadius: Double
+}
+
+object SnapFunction {
+  /** S2CellIdSnapFunction: cell centers at `level`. */
+  final case class CellIdSnap(level: Int) extends SnapFunction {
+    def apply(p: V3): V3 = Snap.snapPoint(p, level)
+    def snapRadius: Double = Snap.minSnapRadiusForLevel(level)
+  }
+  /** IntLatLngSnapFunction: E`exponent` integer lat/lng grid. */
+  final case class IntLatLngSnap(exponent: Int) extends SnapFunction {
+    def apply(p: V3): V3 = Snap.snapPointIntLatLng(p, exponent)
+    def snapRadius: Double = Snap.minSnapRadiusForExponent(exponent)
+  }
+  /** IdentitySnapFunction(0): vertices unmoved; tolerance = leaf level. */
+  case object Identity extends SnapFunction {
+    def apply(p: V3): V3 = p
+    def snapRadius: Double = Snap.minSnapRadiusForLevel(30)
+  }
+  /** Legacy int encoding: negative = identity, else cell-id level. */
+  def fromLevel(level: Int): SnapFunction =
+    if (level < 0) Identity else CellIdSnap(level)
 }

@@ -129,6 +129,75 @@ class BuilderSpec extends AnyFunSuite {
     }
   }
 
+  test("polyline layer: shuffled segment soup reassembles maximal chains") {
+    import graft.operators.{Builder, SnapFunction}
+    def v(lat: Double, lng: Double) = V3.fromLatLngDegrees(lat, lng)
+    // two disjoint chains, segments shuffled
+    val chainA = Seq(v(0, 0), v(0, 5), v(0, 10), v(1, 15))
+    val chainB = Seq(v(40, 40), v(42, 42), v(44, 40))
+    val soup = scala.util.Random.shuffle(
+      chainA.sliding(2).map(w => (w(0), w(1))).toSeq ++
+        chainB.sliding(2).map(w => (w(0), w(1))).toSeq)
+    val out = Builder.assemblePolylines(soup)
+    assert(out.size == 2)
+    val asSets = out.map(_.toSeq).toSet
+    assert(asSets == Set(chainA, chainB))
+
+    // a closed ring of directed edges comes out as one closed walk
+    val ring = Seq(v(10, 10), v(10, 20), v(20, 20), v(20, 10))
+    val ringSoup = (ring :+ ring.head).sliding(2).map(w => (w(0), w(1))).toSeq
+    val rw = Builder.assemblePolylines(scala.util.Random.shuffle(ringSoup))
+    assert(rw.size == 1)
+    assert(rw.head.head == rw.head.last) // closed
+    assert(rw.head.length == 5)
+
+    // branching: one head with two outgoing chains -> two maximal walks
+    val y = Seq((v(0, 0), v(0, 5)), (v(0, 5), v(5, 10)), (v(0, 5), v(-5, 10)))
+    val yw = Builder.assemblePolylines(y)
+    assert(yw.size == 2)
+    assert(yw.map(_.length).sum == 5) // 3 edges across 2 walks
+  }
+
+  test("IntLatLng snap merges jittered endpoints; simplify drops collinear vertices") {
+    import graft.operators.{Builder, SnapFunction}
+    def v(lat: Double, lng: Double) = V3.fromLatLngDegrees(lat, lng)
+    // endpoints jittered by ~1e-7 deg: E5 grid snap makes them identical
+    val soup = Seq(
+      (v(0, 0), v(0.0000001, 5.0000001)),
+      (v(-0.0000002, 4.9999999), v(0.0000001, 10.0)))
+    val out = Builder.assemblePolylines(soup, SnapFunction.IntLatLngSnap(5))
+    assert(out.size == 1) // merged into one chain
+    assert(out.head.length == 3)
+    // simplify: exactly-collinear equator chain collapses to endpoints
+    val line = Seq((v(0, 0), v(0, 3)), (v(0, 3), v(0, 7)), (v(0, 7), v(0, 10)))
+    val simp = Builder.assemblePolylines(line, SnapFunction.Identity,
+      simplifyTolerance = 1e-9)
+    assert(simp.size == 1)
+    assert(simp.head.length == 2)
+    assert(V3.lngDegrees(simp.head.last) == 10.0)
+
+    // assemblePolygon accepts the IntLatLng snap function too
+    val sq = Seq((v(0, 0), v(0, 10)), (v(0, 10), v(10, 10)),
+      (v(10.0000001, 9.9999999), v(10, 0)), (v(10, 0), v(0.0000001, -0.0000001)))
+    val poly = Builder.assemblePolygon(sq, SnapFunction.IntLatLngSnap(5))
+    assert(poly.numLoops == 1)
+    assert(poly.contains(v(5, 5)))
+  }
+
+  test("distributed per-group polyline assembly") {
+    import spark.implicits._
+    import graft.operators.{Builder, SnapFunction}
+    val rows = Seq(
+      ("t1", 0.0, 0.0, 0.0, 5.0), ("t1", 0.0, 5.0, 0.0, 10.0),
+      ("t2", 40.0, 40.0, 42.0, 42.0)).toDF("g", "la", "na", "lb", "nb")
+    val out = Builder.assemblePolylinesDf(rows, "g", "la", "na", "lb", "nb")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getString(2)))
+    assert(out.count(_._1 == "t1") == 1)
+    assert(out.count(_._2 == 0) == 2)
+    val t1 = out.find(_._1 == "t1").get._3
+    assert(t1.split(", ").length == 3)
+  }
+
   test("distributed per-group assembly") {
     import spark.implicits._
     val sq = ring("0:0, 0:10, 10:10, 10:0")

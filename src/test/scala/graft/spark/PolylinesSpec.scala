@@ -13,6 +13,45 @@ class PolylinesSpec extends AnyFunSuite {
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 
+  test("chain interpolation: atDistance clamps, reports edges, spans chains") {
+    import spark.implicits._
+    // single-chain column API: equator 0..30 deg
+    val df = Seq((Seq(0.0, 0.0, 0.0, 0.0), Seq(0.0, 10.0, 20.0, 30.0)))
+      .toDF("lat", "lng")
+    val r = df.select(Polylines.atDistance($"lat", $"lng",
+      lit(math.toRadians(15)))).head().getStruct(0)
+    assert(math.abs(r.getDouble(1) - 15.0) < 1e-9) // lng 15 at distance 15 deg
+    assert(r.getInt(2) == 1)                       // inside edge 1 (10..20)
+    assert(math.abs(r.getDouble(3) - math.toRadians(15)) < 1e-12)
+    // clamping: negative -> start, beyond-length -> end (reference clamps)
+    val lo = df.select(Polylines.atDistance($"lat", $"lng", lit(-1.0))).head().getStruct(0)
+    assert(lo.getDouble(1) == 0.0 && lo.getDouble(3) == 0.0)
+    val hi = df.select(Polylines.atDistance($"lat", $"lng", lit(10.0))).head().getStruct(0)
+    assert(math.abs(hi.getDouble(1) - 30.0) < 1e-9)
+    assert(math.abs(hi.getDouble(3) - math.toRadians(30)) < 1e-12)
+
+    // multi-chain core query: two chains concatenate; distance past the
+    // first chain's end lands in the second chain's edge range
+    val q = new S2ChainInterpolation(Seq(
+      Array(V3.fromLatLngDegrees(0, 0), V3.fromLatLngDegrees(0, 10)),
+      Array(V3.fromLatLngDegrees(20, 0), V3.fromLatLngDegrees(20, 10),
+        V3.fromLatLngDegrees(20, 20))))
+    assert(q.chainBounds == Seq((0, 1), (1, 3)))
+    val res = q.atDistance(math.toRadians(12)).get
+    assert(res.edge == 1) // second chain's first edge
+    // on the lat-20 geodesic (which bulges slightly poleward mid-edge)
+    assert(V3.latDegrees(res.point) >= 20.0 - 1e-9 &&
+      V3.latDegrees(res.point) < 20.1)
+    // length = chain1 + chain2; lengthAtEdgeEnd is cumulative
+    assert(math.abs(q.length - q.lengthAtEdgeEnd(2)) < 1e-15)
+    assert(q.lengthAtEdgeEnd(0) < q.lengthAtEdgeEnd(1))
+    // fraction 1 -> last vertex
+    val end = q.atFraction(1.0).get
+    assert(math.abs(V3.lngDegrees(end.point) - 20.0) < 1e-9)
+    // empty shape -> None
+    assert(new S2ChainInterpolation(Seq(Array.empty[V3])).atDistance(0.1).isEmpty)
+  }
+
   test("length, interpolation, subsample, dtw over polyline columns") {
     import spark.implicits._
     // equator chain 0..40 deg in 10-deg steps, with a small zigzag vertex
