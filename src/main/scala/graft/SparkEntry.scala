@@ -568,7 +568,7 @@ object SparkEntry {
         .select("id_a", "id_b")
     }),
 
-    "q_ann_lsh" -> ((s, dir) => { // rows-only (approximate by design)
+    "q_ann_lsh" -> ((s, dir) => { // oracle: SRP components embedded as literals
       val emb = s.read.parquet(s"$dir/embeddings.parquet")
       val queries = emb.where(col("vec_id") < 10)
         .select(col("vec_id").as("qid"), col("embedding").as("qv"))
@@ -1123,6 +1123,46 @@ object SparkEntry {
           FROM embeddings d
           CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 10) q)
         WHERE rank <= 5""",
+
+      "q_ann_lsh" -> {
+        // SRP-LSH mirror: the hyperplane components are DATA-INDEPENDENT
+        // constants (pure function of (plane, dim)), so the kernel's
+        // values are embedded as double literals — both engines then run
+        // the identical IEEE projection sum per row (same left-to-right
+        // order as the kernel loop), identical sign buckets, identical
+        // (table, bucket) equi-join, identical exact-cosine ranking.
+        val nPlanes = 4; val tables = 8; val k = 5
+        def projExpr(c: String, t: Int, p: Int): String = {
+          val cs = (0 until 64).map(i =>
+            graft.operators.Similarity.planeComponent(t * nPlanes + p, i))
+          s"""list_sum(list_transform(range(1, 65),
+              i -> CAST($c[CAST(i AS INTEGER)] AS DOUBLE) *
+                   ([${cs.mkString(", ")}])[CAST(i AS INTEGER)]))"""
+        }
+        def bucketExpr(c: String, t: Int): String =
+          (0 until nPlanes).map(p =>
+            s"(CASE WHEN ${projExpr(c, t, p)} >= 0 THEN ${1 << p} ELSE 0 END)")
+            .mkString(" + ")
+        def packList(c: String): String =
+          (0 until tables).map(t => s"(${t * 65536} + ${bucketExpr(c, t)})")
+            .mkString("[", ", ", "]")
+        s"""WITH db AS (SELECT vec_id, embedding,
+                        unnest(${packList("embedding")}) AS bk FROM embeddings),
+            qb AS (SELECT vec_id AS qid, embedding AS qe,
+                        unnest(${packList("embedding")}) AS bk
+                   FROM embeddings WHERE vec_id < 10),
+            cand AS (SELECT DISTINCT qb.qid, qb.qe, db.vec_id AS id, db.embedding AS e
+                     FROM db JOIN qb ON db.bk = qb.bk),
+            scored AS (SELECT qid, id,
+                CAST(row_number() OVER (PARTITION BY qid ORDER BY
+                  (list_sum(list_transform(list_zip(e, qe),
+                     p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+                   / (sqrt(list_sum(list_transform(e, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                    * sqrt(list_sum(list_transform(qe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))) DESC,
+                  id) AS INT) AS rank
+              FROM cand)
+            SELECT qid, id, rank FROM scored WHERE rank <= $k"""
+      },
 
       "q_cos_pairs" -> """
         SELECT a.vec_id AS id_a, b.vec_id AS id_b

@@ -76,7 +76,7 @@ object Similarity {
   /** Deterministic pseudo-random hyperplane component: plane `p`,
     * dimension `i` → uniform in [-1, 1). splitmix64-style finalizer over
     * the packed (plane, dim) key — engine/run-independent. */
-  private def planeComponent(plane: Int, i: Int): Double = {
+  private[graft] def planeComponent(plane: Int, i: Int): Double = {
     var z = (plane.toLong << 32) ^ (i.toLong & 0xFFFFFFFFL)
     z += -7046029254386353131L // splitmix64 gamma
     z = (z ^ (z >>> 30)) * -4658895280553007687L
