@@ -8,11 +8,11 @@ package graft.core
   * CCW loops is their N-way union; ODD is their N-way symmetric
   * difference.
   *
-  * Region materialization (`toPolygon`) is supported for ring sets whose
-  * boundaries do not cross (overlapping-but-non-crossing stacks, nested
-  * stacks, multiplicity > 1); ring sets with crossing boundaries must be
-  * resolved pairwise through [[S2BooleanOps]] first — the reference routes
-  * the same work through its S2Builder graph machinery. */
+  * Region materialization (`toPolygon`) supports ARBITRARY ring sets —
+  * crossing boundaries, coincident stacks, multiplicity > 1 — via the
+  * same elementary-subsegment decomposition as [[S2BooleanOps]],
+  * generalized to N winding rings (the reference routes this work through
+  * its S2Builder graph machinery). */
 object S2Winding {
 
   sealed trait WindingRule { def matches(w: Int): Boolean }
@@ -37,61 +37,146 @@ object S2Winding {
   def contains(rings: Seq[Array[V3]], rule: WindingRule, p: V3): Boolean =
     rule.matches(windingNumber(rings, p))
 
-  /** Materialize the rule region as a parity-model polygon.
-    * REQUIRES ring boundaries pairwise non-crossing (the nesting of the
-    * rule region is then decidable per ring). A ring belongs to the output
-    * boundary iff crossing it flips rule membership; kept rings are
-    * normalized to small interiors for the parity model. */
+  /** Materialize the rule region as a parity-model polygon — ARBITRARY
+    * ring sets, crossing boundaries included (the reference routes this
+    * through its S2Builder graph machinery,
+    * s2winding_operation.cc; here the same decomposition as
+    * [[S2BooleanOps]] generalizes from 2 operands to N winding rings):
+    *
+    *  1. split every cross-ring edge pair at proper crossings and exact
+    *     vertex-on-edge / collinear-overlap events → elementary
+    *     subsegments (bitwise-identical where boundaries coincide);
+    *  2. bundle coincident subsegments; for each bundle compute the
+    *     winding number on each side: base winding of the midpoint over
+    *     rings NOT passing through the segment (midpoint is strictly off
+    *     their boundaries after splitting), plus each passing ring's
+    *     side contribution (+1 on the small-interior side for CCW rings,
+    *     −1 for CW — direction-relative);
+    *  3. keep the bundle iff rule membership differs across it, directed
+    *     with the rule region on the left;
+    *  4. stitch the balanced directed multigraph into loops, normalized
+    *     to small interiors for the parity model. */
   def toPolygon(rings: Seq[Array[V3]], rule: WindingRule): S2Polygon = {
-    def cross(a: Array[V3], b: Array[V3]): Boolean = {
+    val ringArr = rings.toArray
+    val ccw: Array[Boolean] = ringArr.map(r => S2Loop(r).area <= 2 * math.Pi)
+
+    // directed edges as GIVEN (winding orientation preserved), with the
+    // triage normal and per-edge split-event buffer
+    final class E(val v0: V3, val v1: V3, val ring: Int) {
+      val x: V3 = v0.cross(v1)
+      var events: scala.collection.mutable.ArrayBuffer[V3] = null
+      def add(p: V3): Unit = {
+        if (events == null) events = new scala.collection.mutable.ArrayBuffer[V3](2)
+        events += p
+      }
+    }
+    val edges: Array[E] = ringArr.zipWithIndex.flatMap { case (r, ri) =>
+      r.indices.map(i => new E(r(i), r((i + 1) % r.length), ri))
+    }
+
+    // 1. split events between edges of DIFFERENT rings (each ring is a
+    // valid loop: same-ring edges interact only at shared vertices)
+    for (i <- edges.indices; j <- i + 1 until edges.length) {
+      val ea = edges(i); val eb = edges(j)
+      if (ea.ring != eb.ring) {
+        val e0 = S2Predicates.onGreatCircle(ea.v0, ea.v1, ea.x, eb.v0) &&
+          S2Predicates.collinearBetween(ea.v0, ea.v1, eb.v0)
+        val e1 = S2Predicates.onGreatCircle(ea.v0, ea.v1, ea.x, eb.v1) &&
+          S2Predicates.collinearBetween(ea.v0, ea.v1, eb.v1)
+        val f0 = S2Predicates.onGreatCircle(eb.v0, eb.v1, eb.x, ea.v0) &&
+          S2Predicates.collinearBetween(eb.v0, eb.v1, ea.v0)
+        val f1 = S2Predicates.onGreatCircle(eb.v0, eb.v1, eb.x, ea.v1) &&
+          S2Predicates.collinearBetween(eb.v0, eb.v1, ea.v1)
+        if (e0) ea.add(eb.v0)
+        if (e1) ea.add(eb.v1)
+        if (f0) eb.add(ea.v0)
+        if (f1) eb.add(ea.v1)
+        if (!e0 && !e1 && !f0 && !f1 &&
+            S2EdgeCrossings.crossingSign(ea.v0, ea.v1, eb.v0, eb.v1) > 0) {
+          val p = S2EdgeIntersections.getIntersection(ea.v0, ea.v1, eb.v0, eb.v1)
+          ea.add(p); eb.add(p)
+        }
+      }
+    }
+
+    // 2. elementary subsegments bundled by undirected key
+    def keyOf(u: V3, v: V3): (V3, V3) = if (u.lexLess(v)) (u, v) else (v, u)
+    // bundle value: ((u,v) reference direction = key order, list of (ring, dirVsKey))
+    val bundles = scala.collection.mutable.LinkedHashMap
+      .empty[(V3, V3), scala.collection.mutable.ArrayBuffer[(Int, Int)]]
+    for (e <- edges) {
+      val pts: Array[V3] =
+        if (e.events == null) Array(e.v0, e.v1)
+        else (e.v0 +: e.events.distinct.sortBy(p => (p - e.v0).norm2).toArray) :+ e.v1
       var i = 0
-      while (i < a.length) {
-        var j = 0
-        while (j < b.length) {
-          if (S2EdgeCrossings.crossingSign(a(i), a((i + 1) % a.length),
-              b(j), b((j + 1) % b.length)) > 0) return true
-          j += 1
+      while (i < pts.length - 1) {
+        val u = pts(i); val v = pts(i + 1)
+        if (u != v) {
+          val k = keyOf(u, v)
+          val dir = if (u.lexLess(v)) 1 else -1
+          bundles.getOrElseUpdate(k, scala.collection.mutable.ArrayBuffer.empty) +=
+            ((e.ring, dir))
         }
         i += 1
       }
-      false
     }
-    for (i <- rings.indices; j <- i + 1 until rings.length)
-      require(!cross(rings(i), rings(j)),
-        s"rings $i and $j cross: resolve through S2BooleanOps first")
-    // group geometrically-coincident rings into bundles (same vertex set;
-    // a multiplicity-2 boundary flips the winding by its summed delta and
-    // contributes at most ONE output ring)
-    def key(r: Array[V3]): Set[V3] = r.toSet
-    val bundles = rings.indices.groupBy(i => key(rings(i))).values.toSeq
-    val keptLoops = bundles.flatMap { bundle =>
-      val ring = rings(bundle.head)
-      val l = S2Loop(ring)
-      val small = if (l.area <= 2 * math.Pi) l else S2Loop(ring.reverse)
-      val delta = bundle.map { i =>
-        if (S2Loop(rings(i)).area <= 2 * math.Pi) 1 else -1
-      }.sum
-      val others = rings.indices.filterNot(bundle.contains).map(rings(_))
-      val (pin, pout) = boundaryProbes(small)
-      val wInside = windingNumber(others, pin) + delta
-      val wOutside = windingNumber(others, pout)
-      if (rule.matches(wInside) != rule.matches(wOutside)) Some(small) else None
-    }
-    new S2Polygon(keptLoops.toArray)
-  }
 
-  /** Points JUST inside and just outside the loop boundary (edge-midpoint
-    * nudged by epsilon). The probes must hug the boundary — a
-    * deep-interior point (e.g. the centroid) could land inside a ring
-    * nested within this one and misreport the winding immediately inside
-    * this boundary. */
-  private def boundaryProbes(l: S2Loop): (V3, V3) = {
-    val a = l.vertex(0); val b = l.vertex(1)
-    val mid = (a + b).normalize
-    val n = S2EdgeCrossings.robustCrossProd(a, b).normalize
-    val eps = 1e-9
-    val p1 = (mid * math.cos(eps)) + (n * math.sin(eps))
-    val p2 = (mid * math.cos(eps)) - (n * math.sin(eps))
-    if (l.contains(p1)) (p1, p2) else (p2, p1)
+    // 3. per-bundle side windings + selection
+    val kept = new scala.collection.mutable.ArrayBuffer[(V3, V3)]()
+    for (((u, v), entries) <- bundles) {
+      val touching = entries.iterator.map(_._1).toSet
+      val mid = (u + v).normalize
+      var wBase = 0
+      var r = 0
+      while (r < ringArr.length) {
+        if (!touching.contains(r)) wBase += ringWinding(ringArr(r), mid)
+        r += 1
+      }
+      var wLeft = wBase; var wRight = wBase
+      for ((ri, dir) <- entries) {
+        // CCW ring: small interior left of its walk; CW: right of its walk
+        (ccw(ri), dir) match {
+          case (true, 1)   => wLeft += 1
+          case (true, -1)  => wRight += 1
+          case (false, 1)  => wRight -= 1
+          case (false, -1) => wLeft -= 1
+        }
+      }
+      val inL = rule.matches(wLeft); val inR = rule.matches(wRight)
+      if (inL && !inR) kept += ((u, v))
+      else if (inR && !inL) kept += ((v, u))
+    }
+
+    // 4. stitch (rule region on the left of every kept edge → balanced)
+    val outs = scala.collection.mutable.HashMap
+      .empty[V3, scala.collection.mutable.ArrayBuffer[V3]]
+    kept.foreach { case (u, v) =>
+      outs.getOrElseUpdate(u, new scala.collection.mutable.ArrayBuffer[V3](2)) += v
+    }
+    val loops = scala.collection.mutable.ArrayBuffer.empty[S2Loop]
+    var remaining = kept.size
+    while (remaining > 0) {
+      val start = outs.keysIterator.next()
+      val verts = scala.collection.mutable.ArrayBuffer.empty[V3]
+      var cur = start
+      var guard = 0
+      var done = false
+      while (!done) {
+        verts += cur
+        val lst = outs(cur)
+        val nxt = lst.remove(lst.length - 1)
+        if (lst.isEmpty) outs.remove(cur)
+        remaining -= 1
+        cur = nxt
+        guard += 1
+        require(guard <= kept.size + 1, "winding stitch did not close")
+        if (cur == start) done = true
+      }
+      if (verts.length >= 3) {
+        val l = S2Loop(verts.toArray)
+        loops += (if (l.area > 2 * math.Pi) S2Loop(verts.reverse.toArray) else l)
+      }
+    }
+    new S2Polygon(loops.toArray)
   }
 }

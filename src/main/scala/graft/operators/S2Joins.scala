@@ -522,7 +522,11 @@ object S2Joins {
     // targets for which fewer than k docs exist at all (or user-truncated
     // ladders), never "the radii under-covered"
     val fullRadii = if (radii.lastOption.contains(math.Pi)) radii else radii :+ math.Pi
-    for (r <- fullRadii if !unsatisfied.isEmpty) {
+    // per round: ONE action (the eager count of still-unsatisfied targets,
+    // which also materializes its cache); candidates are cached because
+    // both the certification aggregate and the result join read them
+    var unsatCount = -1L
+    for (r <- fullRadii if unsatCount != 0) {
       val chord2 = S1ChordAngle.fromRadians(r)
       val q = unsatisfied.withColumn("term",
         explode(capTerms(col(tLatCol), col(tLngCol), lit(r))))
@@ -531,6 +535,8 @@ object S2Joins {
         .withColumn("dist2", dist2(col(tLatCol), col(tLngCol), col(latCol), col(lngCol)))
         .withColumn("rank", row_number().over(w))
         .where(col("rank") <= k)
+        .cache()
+      cached += cands
       // certified iff k candidates exist and the k-th is inside radius r
       val perTarget = cands.groupBy(qidCol)
         .agg(count(lit(1)).as("n"), max("dist2").as("kth"))
@@ -543,11 +549,12 @@ object S2Joins {
       unsatisfied = unsatisfied.join(perTarget.select(qidCol), Seq(qidCol),
         "left_anti").cache()
       cached += unsatisfied
+      unsatCount = unsatisfied.count()
     }
     // stragglers: only targets with < k docs in the whole table reach here
     // (the pi round certifies everything else). Count-gate the collect so a
     // pathological input fails loudly instead of exhausting driver memory.
-    val leftoverCount = unsatisfied.count()
+    val leftoverCount = math.max(0L, unsatCount)
     require(leftoverCount <= maxFallbackTargets,
       s"knnJoinLarge: $leftoverCount targets uncertified after the radius " +
         s"ladder (cap $maxFallbackTargets) — fewer than k=$k docs exist for " +

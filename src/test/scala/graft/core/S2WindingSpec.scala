@@ -67,10 +67,36 @@ class S2WindingSpec extends AnyFunSuite {
     assert(pos.contains(pt(5, 5)))
   }
 
-  test("toPolygon rejects crossing rings") {
+  test("toPolygon with CROSSING rings: POSITIVE = union, ODD = symmetric difference") {
     val crossing = ring("5:5, 5:15, 15:15, 15:5")
-    assertThrows[IllegalArgumentException] {
-      toPolygon(Seq(sqA, crossing), Positive)
+    val pa = new S2Polygon(Array(S2Loop(sqA)))
+    val pb = new S2Polygon(Array(S2Loop(crossing)))
+    val pos = toPolygon(Seq(sqA, crossing), Positive)
+    val odd = toPolygon(Seq(sqA, crossing), Odd)
+    val uni = S2BooleanOps.union(pa, pb)
+    val sym = S2BooleanOps.symmetricDifference(pa, pb)
+    val rnd = new scala.util.Random(23)
+    for (_ <- 0 until 2000) {
+      val p = V3.fromLatLngDegrees(rnd.nextDouble() * 30 - 5, rnd.nextDouble() * 30 - 5)
+      assert(pos.contains(p) == uni.contains(p), s"POSITIVE at $p")
+      assert(odd.contains(p) == sym.contains(p), s"ODD at $p")
     }
+    assert(math.abs(pos.area - uni.area) < 1e-12)
+    assert(math.abs(odd.area - sym.area) < 1e-12)
+  }
+
+  test("toPolygon crossing + CW ring: NONZERO vs POSITIVE differ as expected") {
+    // CCW square A plus a CW (reversed) square crossing it: the CW ring
+    // contributes -1 in its small region, so POSITIVE = A minus overlap,
+    // NONZERO additionally keeps the CW ring's non-overlapping part
+    val cw = ring("5:5, 5:15, 15:15, 15:5").reverse
+    val pos = toPolygon(Seq(sqA, cw), Positive)
+    val nz = toPolygon(Seq(sqA, cw), NonZero)
+    assert(pos.contains(pt(1, 1)))   // A-only region: w=+1
+    assert(!pos.contains(pt(7, 7)))  // overlap: w=0
+    assert(!pos.contains(pt(14, 14))) // CW-only: w=-1 fails POSITIVE
+    assert(nz.contains(pt(14, 14)))  // ...but passes NONZERO
+    assert(!nz.contains(pt(7, 7)))
+    assert(nz.contains(pt(1, 1)))
   }
 }
