@@ -262,6 +262,15 @@ object Builder {
       }(enc)
   }
 
+  /** Point layer (S2PointVectorLayer,
+    * /root/reference/src/s2/s2builderutil_s2point_vector_layer.h:36-61):
+    * snap isolated points and merge duplicates (DuplicateEdges::MERGE),
+    * deterministic lexicographic order. */
+  def assemblePoints(points: Seq[V3],
+                     snapFn: SnapFunction = SnapFunction.Identity): Seq[V3] =
+    points.map(snapFn(_)).distinct
+      .sortWith((a, b) => a.lexLess(b))
+
   /** Per-group distributed POLYLINE assembly (dirty-polyline ingestion):
     * rows carry one directed segment each; each group's soup is
     * decomposed into maximal walks. Emits one row per assembled polyline:

@@ -184,6 +184,15 @@ class BuilderSpec extends AnyFunSuite {
     assert(poly.contains(v(5, 5)))
   }
 
+  test("point layer: snap + merge duplicates, deterministic order") {
+    import graft.operators.{Builder, SnapFunction}
+    def v(lat: Double, lng: Double) = V3.fromLatLngDegrees(lat, lng)
+    val pts = Seq(v(10, 10), v(10.0000001, 9.9999999), v(-5, 20), v(10, 10))
+    val out = Builder.assemblePoints(pts, SnapFunction.IntLatLngSnap(5))
+    assert(out.size == 2) // jittered + exact duplicates merge
+    assert(out == Builder.assemblePoints(pts.reverse, SnapFunction.IntLatLngSnap(5)))
+  }
+
   test("distributed per-group polyline assembly") {
     import spark.implicits._
     import graft.operators.{Builder, SnapFunction}
