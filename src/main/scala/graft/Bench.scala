@@ -205,6 +205,10 @@ object Bench {
       if (!matchedSet) { matched = warm; matchedSet = true }
       else require(warm == matched,
         s"cross-parallelism result drift at $cores cores: $warm vs $matched")
+      // second untimed warmup: the first post-warmup rep was observed to
+      // carry residual one-sided contamination (GC of the warmup run,
+      // lingering writeback) worth ~2x on a bad interval
+      pipeline(s, docsPath)
       val ceil = cpuRate(cores)
       val times = (1 to repsPerRound).map { _ =>
         val t0 = System.nanoTime()
