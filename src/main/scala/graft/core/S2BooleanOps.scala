@@ -196,28 +196,45 @@ object S2BooleanOps {
 
     // 4. stitch directed sub-edges into loops. The kept set forms a
     // balanced directed multigraph (every vertex has equal in/out degree
-    // because crossing a kept boundary flips rule membership), so ANY
-    // edge-consuming walk decomposes it into closed loops and every
-    // decomposition is parity-equivalent. At vertices shared between
-    // loops (vertex-touching inputs) we prefer continuing along the same
-    // source loop, which yields the touching loops separately instead of
-    // a figure-eight.
-    final case class Out(v: V3, tag: Int)
-    val outs = new java.util.HashMap[V3, mutable.ArrayBuffer[Out]](kept.size * 2)
-    kept.foreach { case (u, v, tag) =>
+    // because crossing a kept boundary flips rule membership). At pinch
+    // vertices (several passes through one vertex — vertex-touching
+    // inputs, coincident-corner degeneracies) the walk continues with
+    // the MINIMUM CLOCKWISE turn from the incoming direction: with the
+    // result interior on the left this is face traversal, yielding
+    // SIMPLE touching loops instead of figure-eights (a repeated vertex
+    // inside one loop breaks downstream parity).
+    val outs = new java.util.HashMap[V3, mutable.ArrayBuffer[V3]](kept.size * 2)
+    kept.foreach { case (u, v, _) =>
       var lst = outs.get(u)
-      if (lst == null) { lst = new mutable.ArrayBuffer[Out](2); outs.put(u, lst) }
-      lst += Out(v, tag)
+      if (lst == null) { lst = new mutable.ArrayBuffer[V3](2); outs.put(u, lst) }
+      lst += v
     }
-    def takeOut(u: V3, prefTag: Int): Out = {
+    def takeOut(u: V3, prev: V3): V3 = {
       val lst = outs.get(u)
       require(lst != null && lst.nonEmpty,
         s"open boundary chain at $u — inputs are not valid polygons " +
           "(self-intersecting operand?)")
-      val i = {
-        val j = lst.indexWhere(_.tag == prefTag)
-        if (j >= 0) j else 0
-      }
+      val i =
+        if (lst.length == 1 || prev == null) 0
+        else {
+          val e1 = S2EdgeCrossings.ortho(u)
+          val e2 = u.cross(e1).normalize
+          def theta(w: V3): Double = {
+            val t = w - u * u.dot(w) // tangent-plane direction of u->w
+            math.atan2(t.dot(e2), t.dot(e1))
+          }
+          val back = theta(prev)
+          var best = 0
+          var bestCw = Double.MaxValue
+          var j = 0
+          while (j < lst.length) {
+            var cw = back - theta(lst(j))
+            while (cw <= 1e-15) cw += 2 * math.Pi
+            if (cw < bestCw) { bestCw = cw; best = j }
+            j += 1
+          }
+          best
+        }
       val o = lst.remove(i)
       if (lst.isEmpty) outs.remove(u)
       o
@@ -229,20 +246,21 @@ object S2BooleanOps {
       // find an unconsumed starting edge
       while (scanIdx < kept.length && {
         val lst = outs.get(kept(scanIdx)._1)
-        lst == null || !lst.exists(o => o.v == kept(scanIdx)._2 && o.tag == kept(scanIdx)._3)
+        lst == null || !lst.contains(kept(scanIdx)._2)
       }) scanIdx += 1
       require(scanIdx < kept.length, "stitch scan exhausted with edges remaining")
-      val (start, _, startTag) = kept(scanIdx)
+      val (start, _, _) = kept(scanIdx)
       val verts = new mutable.ArrayBuffer[V3]()
       var cur = start
-      var curTag = startTag
+      var prev: V3 = null
       var guard = 0
       var done = false
       while (!done) {
         verts += cur
-        val o = takeOut(cur, curTag)
+        val nxt = takeOut(cur, prev)
         remaining -= 1
-        cur = o.v; curTag = o.tag
+        prev = cur
+        cur = nxt
         guard += 1
         require(guard <= kept.size + 1, "stitching did not close")
         if (cur == start) done = true

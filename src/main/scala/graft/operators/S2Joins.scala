@@ -93,24 +93,34 @@ object S2Joins {
 
   /** Full term-join pipeline for polygon regions given as text: emits
     * (doc columns…, qid) after exact PIP refine. Both sides may be
-    * arbitrarily large; the one shuffle is the term equi-join (AQE skew
-    * split applies; pre-salt with [[Skew.saltedTermJoin]] when a region
-    * covers a hot cell). */
+    * arbitrarily large; the candidate shuffle is the term equi-join (AQE
+    * skew split applies; pre-salt with [[Skew.saltedTermJoin]] when a
+    * region covers a hot cell).
+    *
+    * Shuffle discipline (the 100 TB shape): candidate generation runs
+    * over an (doc_id, lat, lng) projection — each doc's ~13 exploded
+    * ancestor terms carry three scalars through the exchange, never the
+    * document payload (`spans` would otherwise ride the shuffle 13×).
+    * Refined (doc_id, qid) matches re-join the full rows once, id-keyed
+    * (AQE broadcasts the match side when selectivity allows). */
   def termPolygonJoin(docs: DataFrame, polys: DataFrame,
                       polyTextCol: String = "poly", qidCol: String = "qid",
                       indexer: S2TermIndexer = new S2TermIndexer()): DataFrame = {
     val queryTermsUdf = udf { (text: String) =>
       indexer.queryTerms(graft.functions.PolyCache.get(text))
     }
-    val d = docIndexTerms(docs, indexer)
+    val slim = docs.select(col("doc_id"),
+      col("lat").cast("double").as("lat"), col("lng").cast("double").as("lng"))
+    val d = docIndexTerms(slim, indexer)
     val q = polys.select(col(qidCol), col(polyTextCol),
       explode(queryTermsUdf(col(polyTextCol))).as("term"))
-    d.join(q, "term")
+    val matches = d.join(q, "term")
       .drop("term")
       // a doc can match a region through several terms → dedupe, then refine
       .dropDuplicates("doc_id", qidCol)
       .where(S2.polygonContains(col(polyTextCol), col("lat"), col("lng")))
-      .drop(polyTextCol)
+      .select(col("doc_id"), col(qidCol))
+    docs.join(matches, "doc_id")
   }
 
   // =======================================================================

@@ -284,6 +284,45 @@ class S2BooleanOpsSpec extends AnyFunSuite {
     assert(overlapping >= 10, s"want overlapping lng ranges, got $overlapping")
   }
 
+  test("randomized differential: rectilinear grid polygons (max degeneracy, multi-loop)") {
+    // operands are unions of random cells from a 6x6 integer-degree grid,
+    // assembled into (possibly multi-loop, hole-bearing) polygons — EVERY
+    // A/B boundary interaction is a shared vertex, shared edge, or
+    // T-junction; nothing is in generic position
+    val rnd = new scala.util.Random(41)
+    def cellPoly(r: Int, c: Int): S2Polygon =
+      poly(s"$r:$c, $r:${c + 1}, ${r + 1}:${c + 1}, ${r + 1}:$c")
+    def gridPoly(cells: Set[(Int, Int)]): S2Polygon =
+      graft.operators.Builder.unionDisjoint(
+        cells.toSeq.map { case (r, c) => cellPoly(r, c) })
+    for (trial <- 0 until 12) {
+      val cellsA = (0 until 36).filter(_ => rnd.nextDouble() < 0.45)
+        .map(i => (i / 6, i % 6)).toSet
+      val cellsB = (0 until 36).filter(_ => rnd.nextDouble() < 0.45)
+        .map(i => (i / 6, i % 6)).toSet
+      if (cellsA.nonEmpty && cellsB.nonEmpty) {
+        val pa = gridPoly(cellsA)
+        val pb = gridPoly(cellsB)
+        val inter = S2BooleanOps.intersection(pa, pb)
+        val uni = S2BooleanOps.union(pa, pb)
+        val diff = S2BooleanOps.difference(pa, pb)
+        // probe strictly inside cells (and outside the grid): membership
+        // is known exactly from the cell sets, no boundary ambiguity
+        for (r <- -1 to 6; c <- -1 to 6; _ <- 0 until 2) {
+          val p = V3.fromLatLngDegrees(
+            r + 0.15 + rnd.nextDouble() * 0.7, c + 0.15 + rnd.nextDouble() * 0.7)
+          val ia = cellsA.contains((r, c)); val ib = cellsB.contains((r, c))
+          assert(inter.contains(p) == (ia && ib), s"trial $trial inter at ($r,$c)")
+          assert(uni.contains(p) == (ia || ib), s"trial $trial union at ($r,$c)")
+          assert(diff.contains(p) == (ia && !ib), s"trial $trial diff at ($r,$c)")
+        }
+        // area identity across maximally-degenerate inputs
+        assert(math.abs(inter.area + uni.area - (pa.area + pb.area)) < 1e-9,
+          s"trial $trial area identity")
+      }
+    }
+  }
+
   test("getIntersection: equator x meridian crossing is (1,0,0) to within kIntersectionError") {
     val p = S2EdgeIntersections.getIntersection(
       V3.fromLatLngDegrees(0, -10), V3.fromLatLngDegrees(0, 10),

@@ -74,6 +74,33 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
+  test("term join candidate shuffles never carry the document payload") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    // force shuffle joins + non-adaptive plan so every exchange is visible
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val docs = S2Joins.withCellId(spark.read.parquet(docsPath), col("lat"), col("lng"))
+      val polys = Seq((1, "0:0, 0:35, 30:35, 30:0"),
+        (2, "-40:-80, -40:-30, -10:-30, -10:-80")).toDF("qid", "poly")
+      val joined = S2Joins.termPolygonJoin(docs, polys)
+      val exchanges = joined.queryExecution.executedPlan.collect {
+        case e: ShuffleExchangeExec => e }
+      assert(exchanges.nonEmpty)
+      // `spans` (the interleaved payload) may ride exactly ONE exchange:
+      // the final id-keyed payload re-join — never the per-term explode
+      // (13 terms/doc), the term equi-join, or the candidate dedup
+      val spansCarrying = exchanges.filter(_.output.exists(_.name == "spans"))
+      assert(spansCarrying.size <= 1,
+        spansCarrying.map(_.output.map(_.name).mkString(",")).mkString("\n"))
+      assert(exchanges.size - spansCarrying.size >= 2)
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
+
   test("closest-shapes join is a pure narrow map: zero exchanges") {
     val docs = S2Joins.withCellId(spark.read.parquet(docsPath), col("lat"), col("lng"))
     val shapes = Seq(
