@@ -196,84 +196,13 @@ object S2BooleanOps {
 
     // 4. stitch directed sub-edges into loops. The kept set forms a
     // balanced directed multigraph (every vertex has equal in/out degree
-    // because crossing a kept boundary flips rule membership). At pinch
-    // vertices (several passes through one vertex — vertex-touching
-    // inputs, coincident-corner degeneracies) the walk continues with
-    // the MINIMUM CLOCKWISE turn from the incoming direction: with the
-    // result interior on the left this is face traversal, yielding
-    // SIMPLE touching loops instead of figure-eights (a repeated vertex
-    // inside one loop breaks downstream parity).
-    val outs = new java.util.HashMap[V3, mutable.ArrayBuffer[V3]](kept.size * 2)
-    kept.foreach { case (u, v, _) =>
-      var lst = outs.get(u)
-      if (lst == null) { lst = new mutable.ArrayBuffer[V3](2); outs.put(u, lst) }
-      lst += v
-    }
-    def takeOut(u: V3, prev: V3): V3 = {
-      val lst = outs.get(u)
-      require(lst != null && lst.nonEmpty,
-        s"open boundary chain at $u — inputs are not valid polygons " +
-          "(self-intersecting operand?)")
-      val i =
-        if (lst.length == 1 || prev == null) 0
-        else {
-          val e1 = S2EdgeCrossings.ortho(u)
-          val e2 = u.cross(e1).normalize
-          def theta(w: V3): Double = {
-            val t = w - u * u.dot(w) // tangent-plane direction of u->w
-            math.atan2(t.dot(e2), t.dot(e1))
-          }
-          val back = theta(prev)
-          var best = 0
-          var bestCw = Double.MaxValue
-          var j = 0
-          while (j < lst.length) {
-            var cw = back - theta(lst(j))
-            while (cw <= 1e-15) cw += 2 * math.Pi
-            if (cw < bestCw) { bestCw = cw; best = j }
-            j += 1
-          }
-          best
-        }
-      val o = lst.remove(i)
-      if (lst.isEmpty) outs.remove(u)
-      o
-    }
-    val loops = new mutable.ArrayBuffer[S2Loop]()
-    var remaining = kept.size
-    var scanIdx = 0
-    while (remaining > 0) {
-      // find an unconsumed starting edge
-      while (scanIdx < kept.length && {
-        val lst = outs.get(kept(scanIdx)._1)
-        lst == null || !lst.contains(kept(scanIdx)._2)
-      }) scanIdx += 1
-      require(scanIdx < kept.length, "stitch scan exhausted with edges remaining")
-      val (start, _, _) = kept(scanIdx)
-      val verts = new mutable.ArrayBuffer[V3]()
-      var cur = start
-      var prev: V3 = null
-      var guard = 0
-      var done = false
-      while (!done) {
-        verts += cur
-        val nxt = takeOut(cur, prev)
-        remaining -= 1
-        prev = cur
-        cur = nxt
-        guard += 1
-        require(guard <= kept.size + 1, "stitching did not close")
-        if (cur == start) done = true
-      }
-      if (verts.length >= 3) {
-        // output loops are walked with the RESULT interior on the left:
-        // shells come out CCW (area <= 2pi), holes CW (area > 2pi as
-        // written). Normalize holes back to small loops — the parity
-        // containment model stores every loop with its small interior.
-        val loop = S2Loop(verts.toArray)
-        loops += (if (loop.area > 2 * math.Pi) S2Loop(verts.reverse.toArray) else loop)
-      }
-    }
-    new S2Polygon(loops.toArray)
+    // because crossing a kept boundary flips rule membership);
+    // [[LoopStitcher]] decomposes it into SIMPLE loops (min-clockwise-turn
+    // face traversal at pinch vertices + on-path sub-cycle extraction —
+    // see its scaladoc for why both are needed) and normalizes to the
+    // parity model's small interiors.
+    new S2Polygon(LoopStitcher.stitchNormalized(
+      kept.map(t => (t._1, t._2)).toSeq,
+      "boolean operation (self-intersecting operand?)"))
   }
 }

@@ -147,64 +147,8 @@ object S2Winding {
       else if (inR && !inL) kept += ((v, u))
     }
 
-    // 4. stitch (rule region on the left of every kept edge → balanced);
-    // min-clockwise-turn continuation at pinch vertices = face traversal,
-    // yielding simple touching loops instead of figure-eights (same rule
-    // as S2BooleanOps/Builder)
-    val outs = scala.collection.mutable.HashMap
-      .empty[V3, scala.collection.mutable.ArrayBuffer[V3]]
-    kept.foreach { case (u, v) =>
-      outs.getOrElseUpdate(u, new scala.collection.mutable.ArrayBuffer[V3](2)) += v
-    }
-    def pickOut(cur: V3, prev: V3,
-                lst: scala.collection.mutable.ArrayBuffer[V3]): Int = {
-      if (lst.length == 1 || prev == null) lst.length - 1
-      else {
-        val e1 = S2EdgeCrossings.ortho(cur)
-        val e2 = cur.cross(e1).normalize
-        def theta(w: V3): Double = {
-          val t = w - cur * cur.dot(w)
-          math.atan2(t.dot(e2), t.dot(e1))
-        }
-        val back = theta(prev)
-        var best = 0
-        var bestCw = Double.MaxValue
-        var j = 0
-        while (j < lst.length) {
-          var cw = back - theta(lst(j))
-          while (cw <= 1e-15) cw += 2 * math.Pi
-          if (cw < bestCw) { bestCw = cw; best = j }
-          j += 1
-        }
-        best
-      }
-    }
-    val loops = scala.collection.mutable.ArrayBuffer.empty[S2Loop]
-    var remaining = kept.size
-    while (remaining > 0) {
-      val start = outs.keysIterator.next()
-      val verts = scala.collection.mutable.ArrayBuffer.empty[V3]
-      var cur = start
-      var prev: V3 = null
-      var guard = 0
-      var done = false
-      while (!done) {
-        verts += cur
-        val lst = outs(cur)
-        val nxt = lst.remove(pickOut(cur, prev, lst))
-        if (lst.isEmpty) outs.remove(cur)
-        remaining -= 1
-        prev = cur
-        cur = nxt
-        guard += 1
-        require(guard <= kept.size + 1, "winding stitch did not close")
-        if (cur == start) done = true
-      }
-      if (verts.length >= 3) {
-        val l = S2Loop(verts.toArray)
-        loops += (if (l.area > 2 * math.Pi) S2Loop(verts.reverse.toArray) else l)
-      }
-    }
-    new S2Polygon(loops.toArray)
+    // 4. stitch (rule region on the left of every kept edge → balanced):
+    // shared simple-loop decomposition (see [[LoopStitcher]])
+    new S2Polygon(LoopStitcher.stitchNormalized(kept.toSeq, "winding operation"))
   }
 }

@@ -107,76 +107,12 @@ object Builder {
       if (k > m) for (_ <- 0 until k - m) survivors += e
       else if (m > k) for (_ <- 0 until m - k) survivors += sib
     }
-    // 4. stitch the balanced multigraph (any decomposition is
-    // parity-equivalent; see S2BooleanOps stitching)
-    val outs = mutable.HashMap.empty[V3, mutable.ArrayBuffer[V3]]
-    survivors.foreach { case (u, v) =>
-      outs.getOrElseUpdate(u, new mutable.ArrayBuffer[V3](2)) += v }
-    val ins = mutable.HashMap.empty[V3, Int]
-    survivors.foreach { case (_, v) => ins(v) = ins.getOrElse(v, 0) + 1 }
-    for ((u, lst) <- outs) {
-      require(ins.getOrElse(u, 0) == lst.length,
-        s"unbalanced edge graph at $u (in=${ins.getOrElse(u, 0)}, out=${lst.length}) — " +
-          "input is not a closed boundary at this snap level")
-    }
-    for ((v, k) <- ins) require(outs.get(v).exists(_.length == k) || k == 0,
-      s"unbalanced edge graph at $v — input is not a closed boundary")
-    // face-traversal continuation: at a pinch vertex (in/out degree > 1 —
-    // e.g. two tiles sharing only a corner) the walk takes the outgoing
-    // edge with the MINIMUM CLOCKWISE turn from the incoming direction.
-    // With interiors on the left this traverses one face boundary and
-    // yields SIMPLE touching loops instead of figure-eights (a repeated
-    // vertex inside one loop would be an invalid S2Loop downstream).
-    def pickOut(cur: V3, prev: V3,
-                lst: mutable.ArrayBuffer[V3]): Int = {
-      if (lst.length == 1 || prev == null) lst.length - 1
-      else {
-        val e1 = S2EdgeCrossings.ortho(cur)
-        val e2 = cur.cross(e1).normalize
-        def theta(w: V3): Double = {
-          val t = w - cur * cur.dot(w) // tangent-plane direction of cur->w
-          math.atan2(t.dot(e2), t.dot(e1))
-        }
-        val back = theta(prev)
-        var best = -1
-        var bestCw = Double.MaxValue
-        var i = 0
-        while (i < lst.length) {
-          var cw = back - theta(lst(i))
-          while (cw <= 1e-15) cw += 2 * math.Pi
-          if (cw < bestCw) { bestCw = cw; best = i }
-          i += 1
-        }
-        best
-      }
-    }
-    val loops = mutable.ArrayBuffer.empty[S2Loop]
-    var remaining = survivors.size
-    while (remaining > 0) {
-      val start = outs.keysIterator.next()
-      val verts = mutable.ArrayBuffer.empty[V3]
-      var cur = start
-      var prev: V3 = null
-      var guard = 0
-      var doneLoop = false
-      while (!doneLoop) {
-        verts += cur
-        val lst = outs(cur)
-        val nxt = lst.remove(pickOut(cur, prev, lst))
-        if (lst.isEmpty) outs.remove(cur)
-        remaining -= 1
-        prev = cur
-        cur = nxt
-        guard += 1
-        require(guard <= survivors.size + 1, "assembly did not close")
-        if (cur == start) doneLoop = true
-      }
-      if (verts.length >= 3) {
-        val l = S2Loop(verts.toArray)
-        loops += (if (l.area > 2 * math.Pi) S2Loop(verts.reverse.toArray) else l)
-      }
-    }
-    new S2Polygon(loops.toArray)
+    // 4. stitch the balanced multigraph into SIMPLE loops (shared
+    // decomposition: min-clockwise-turn face traversal at pinch vertices
+    // + on-path sub-cycle extraction, see graft.core.LoopStitcher) and
+    // normalize to small interiors
+    new S2Polygon(LoopStitcher.stitchNormalized(survivors.toSeq,
+      "polygon assembly (not a closed boundary at this snap level?)"))
   }
 
   /** N-way union of polygons with PAIRWISE-DISJOINT INTERIORS whose

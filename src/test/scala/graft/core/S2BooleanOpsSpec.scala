@@ -295,10 +295,13 @@ class S2BooleanOpsSpec extends AnyFunSuite {
     def gridPoly(cells: Set[(Int, Int)]): S2Polygon =
       graft.operators.Builder.unionDisjoint(
         cells.toSeq.map { case (r, c) => cellPoly(r, c) })
-    for (trial <- 0 until 12) {
-      val cellsA = (0 until 36).filter(_ => rnd.nextDouble() < 0.45)
+    for (trial <- 0 until 40) {
+      // densities swept 0.25-0.65: sparse sets exercise pinch corners and
+      // isolated cells, dense sets exercise holes and pinched faces
+      val density = 0.25 + (trial % 5) * 0.1
+      val cellsA = (0 until 36).filter(_ => rnd.nextDouble() < density)
         .map(i => (i / 6, i % 6)).toSet
-      val cellsB = (0 until 36).filter(_ => rnd.nextDouble() < 0.45)
+      val cellsB = (0 until 36).filter(_ => rnd.nextDouble() < density)
         .map(i => (i / 6, i % 6)).toSet
       if (cellsA.nonEmpty && cellsB.nonEmpty) {
         val pa = gridPoly(cellsA)
@@ -306,6 +309,7 @@ class S2BooleanOpsSpec extends AnyFunSuite {
         val inter = S2BooleanOps.intersection(pa, pb)
         val uni = S2BooleanOps.union(pa, pb)
         val diff = S2BooleanOps.difference(pa, pb)
+        val symm = S2BooleanOps.symmetricDifference(pa, pb)
         // probe strictly inside cells (and outside the grid): membership
         // is known exactly from the cell sets, no boundary ambiguity
         for (r <- -1 to 6; c <- -1 to 6; _ <- 0 until 2) {
@@ -315,10 +319,13 @@ class S2BooleanOpsSpec extends AnyFunSuite {
           assert(inter.contains(p) == (ia && ib), s"trial $trial inter at ($r,$c)")
           assert(uni.contains(p) == (ia || ib), s"trial $trial union at ($r,$c)")
           assert(diff.contains(p) == (ia && !ib), s"trial $trial diff at ($r,$c)")
+          assert(symm.contains(p) == (ia ^ ib), s"trial $trial symm at ($r,$c)")
         }
-        // area identity across maximally-degenerate inputs
+        // area identities across maximally-degenerate inputs
         assert(math.abs(inter.area + uni.area - (pa.area + pb.area)) < 1e-9,
           s"trial $trial area identity")
+        assert(math.abs(symm.area - (uni.area - inter.area)) < 1e-9,
+          s"trial $trial symm area")
       }
     }
   }
