@@ -85,6 +85,34 @@ class S2WindingSpec extends AnyFunSuite {
     assert(math.abs(odd.area - sym.area) < 1e-12)
   }
 
+  test("randomized: grid rings with duplicates/reversals, all rules, pointwise vs windingNumber") {
+    // windingNumber() is an independent pointwise oracle for toPolygon:
+    // rule.matches(winding(p)) must equal materialized containment
+    val rnd = new scala.util.Random(77)
+    def cellRing(r: Int, c: Int): Array[V3] =
+      ring(s"$r:$c, $r:${c + 1}, ${r + 1}:${c + 1}, ${r + 1}:$c")
+    for (trial <- 0 until 15) {
+      val rings = (0 until 16).filter(_ => rnd.nextDouble() < 0.5).flatMap { i =>
+        val base = cellRing(i / 4, i % 4)
+        val copies = 1 + rnd.nextInt(2) // multiplicity 1-2
+        (0 until copies).map { _ =>
+          if (rnd.nextDouble() < 0.3) base.reverse else base // some CW
+        }
+      }
+      if (rings.nonEmpty) {
+        for (rule <- Seq(Positive, Negative, NonZero, Odd)) {
+          val polyR = toPolygon(rings, rule)
+          for (r <- -1 to 4; c <- -1 to 4) {
+            val p = pt(r + 0.3 + rnd.nextDouble() * 0.4, c + 0.3 + rnd.nextDouble() * 0.4)
+            val want = rule.matches(windingNumber(rings, p))
+            assert(polyR.contains(p) == want,
+              s"trial $trial rule $rule at ($r,$c): winding=${windingNumber(rings, p)}")
+          }
+        }
+      }
+    }
+  }
+
   test("toPolygon crossing + CW ring: NONZERO vs POSITIVE differ as expected") {
     // CCW square A plus a CW (reversed) square crossing it: the CW ring
     // contributes -1 in its small region, so POSITIVE = A minus overlap,

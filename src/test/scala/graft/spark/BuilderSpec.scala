@@ -184,6 +184,37 @@ class BuilderSpec extends AnyFunSuite {
     assert(poly.contains(v(5, 5)))
   }
 
+  test("randomized: unionDisjoint of arbitrary grid-cell sets is pointwise exact") {
+    // every configuration occurs across trials: corner pinches (diagonal
+    // cells), holes, pinched holes, nested pockets — the simple-loop
+    // stitcher guarantee is load-bearing here
+    val rnd = new scala.util.Random(59)
+    def sq(r: Int, c: Int) = S2TextFormat.parsePolygon(
+      s"$r:$c, $r:${c + 1}, ${r + 1}:${c + 1}, ${r + 1}:$c")
+    for (trial <- 0 until 20) {
+      val density = 0.2 + (trial % 6) * 0.12
+      val cells = (0 until 36).filter(_ => rnd.nextDouble() < density)
+        .map(i => (i / 6, i % 6)).toSet
+      if (cells.nonEmpty) {
+        val merged = graft.operators.Builder.unionDisjoint(
+          cells.toSeq.map { case (r, c) => sq(r, c) })
+        for (r <- -1 to 6; c <- -1 to 6) {
+          val p = V3.fromLatLngDegrees(
+            r + 0.2 + rnd.nextDouble() * 0.6, c + 0.2 + rnd.nextDouble() * 0.6)
+          assert(merged.contains(p) == cells.contains((r, c)),
+            s"trial $trial at ($r,$c)")
+        }
+        val whole = cells.toSeq.map { case (r, c) => sq(r, c).area }.sum
+        assert(math.abs(merged.area - whole) / whole < 1e-7, s"trial $trial area")
+        // every output loop is simple (no repeated vertices)
+        merged.loops.foreach { l =>
+          assert(l.vertices.distinct.length == l.numVertices,
+            s"trial $trial non-simple loop")
+        }
+      }
+    }
+  }
+
   test("point layer: snap + merge duplicates, deterministic order") {
     import graft.operators.{Builder, SnapFunction}
     def v(lat: Double, lng: Double) = V3.fromLatLngDegrees(lat, lng)
