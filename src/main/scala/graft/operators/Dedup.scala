@@ -93,11 +93,22 @@ object Dedup {
   private[graft] val FamilyB: Array[Long] = {
     var x = 7L; Array.fill(256) { x = x * 48271 % HashM; x }
   }
+  /** Branchless-ish Mersenne reduction: for 0 ≤ x < 2^62, returns exactly
+    * x % (2^31-1) without a hardware divide (x = q·2^31 + r ⇒
+    * x ≡ q + r mod M; two folds bring x under 2M, one conditional
+    * subtract finishes). Hot-path replacement for `%` in the dedup
+    * kernels — bit-identical values, so oracle parity is unaffected. */
+  @inline private[graft] def mersMod(x: Long): Long = {
+    var r = (x & HashM) + (x >>> 31)
+    r = (r & HashM) + (r >>> 31)
+    if (r >= HashM) r - HashM else r
+  }
+
   /** Horner polynomial hash of a string mod 2^31-1 (UTF-16 code units). */
   private[graft] def hornerHash(s: String, base: Long): Long = {
     var h = 0L
     var i = 0
-    while (i < s.length) { h = (h * base + s.charAt(i).toLong) % HashM; i += 1 }
+    while (i < s.length) { h = mersMod(h * base + s.charAt(i).toLong); i += 1 }
     h
   }
 
@@ -129,7 +140,7 @@ object Dedup {
           val h = hornerHash(s, HashB)
           var k = 0
           while (k < numHashes) {
-            val v = (FamilyA(k) * h + FamilyB(k)) % HashM
+            val v = mersMod(FamilyA(k) * h + FamilyB(k))
             if (v < mins(k)) mins(k) = v
             k += 1
           }
@@ -141,7 +152,7 @@ object Dedup {
           var bh = 0L
           var r = 0
           while (r < rows) {
-            bh = (bh * HashB + mins(b * rows + r)) % HashM
+            bh = mersMod(bh * HashB + mins(b * rows + r))
             r += 1
           }
           out(b) = (b.toLong << 32) | bh

@@ -102,6 +102,60 @@ class PolylineBooleanOpsSpec extends AnyFunSuite {
     assert(math.abs(totalAngle(inter) + totalAngle(diff) - whole) < 1e-12)
   }
 
+  test("randomized: grid-walk polylines vs grid polygons (coincident runs + crossings)") {
+    // polyline walks unit steps between INTEGER grid corners — segments
+    // exactly coincide with cell edges (same endpoints → same geodesic) —
+    // then two off-grid tail points add transversal crossings
+    val rnd = new scala.util.Random(31)
+    def sq(r: Int, c: Int) = S2TextFormat.parsePolygon(
+      s"$r:$c, $r:${c + 1}, ${r + 1}:${c + 1}, ${r + 1}:$c")
+    def totalAngle2(pieces: Seq[Array[V3]]): Double =
+      pieces.map(p => p.sliding(2).map(w => w(0).angle(w(1))).sum).sum
+    for (trial <- 0 until 15) {
+      val cells = (0 until 25).filter(_ => rnd.nextDouble() < 0.5)
+        .map(i => (i / 5, i % 5)).toSet
+      if (cells.nonEmpty) {
+        val poly = graft.operators.Builder.unionDisjoint(
+          cells.toSeq.map { case (r, c) => sq(r, c) })
+        // random unit-step walk on corners (no immediate backtracking)
+        var (r, c) = (rnd.nextInt(6), rnd.nextInt(6))
+        val verts = scala.collection.mutable.ArrayBuffer(
+          V3.fromLatLngDegrees(r, c))
+        var lastDir = -1
+        for (_ <- 0 until 8) {
+          val dirs = Seq((1, 0), (-1, 0), (0, 1), (0, -1)).zipWithIndex
+            .filter { case ((dr, dc), i) =>
+              i != (lastDir ^ 1) && r + dr >= 0 && r + dr <= 5 && c + dc >= 0 && c + dc <= 5 }
+          val ((dr, dc), i) = dirs(rnd.nextInt(dirs.length))
+          r += dr; c += dc; lastDir = i
+          verts += V3.fromLatLngDegrees(r, c)
+        }
+        verts += V3.fromLatLngDegrees(rnd.nextDouble() * 7 - 1, rnd.nextDouble() * 7 - 1)
+        verts += V3.fromLatLngDegrees(rnd.nextDouble() * 7 - 1, rnd.nextDouble() * 7 - 1)
+        val line = verts.toArray
+        val whole = totalAngle2(Seq(line))
+
+        val interC = intersection(line, poly, Closed)
+        val diffC = difference(line, poly, Closed)
+        val interO = intersection(line, poly, Open)
+        val diffO = difference(line, poly, Open)
+        // partitions per model
+        assert(math.abs(totalAngle2(interC) + totalAngle2(diffC) - whole) < 1e-11,
+          s"trial $trial closed partition")
+        assert(math.abs(totalAngle2(interO) + totalAngle2(diffO) - whole) < 1e-11,
+          s"trial $trial open partition")
+        // boundary runs belong to intersection only under CLOSED
+        assert(totalAngle2(interO) <= totalAngle2(interC) + 1e-11)
+        // strict membership: OPEN-intersection interiors, CLOSED-difference
+        // exteriors (both strictly off the boundary by construction)
+        interO.foreach(p => p.sliding(2).foreach(w =>
+          assert(poly.contains((w(0) + w(1)).normalize), s"trial $trial interO")))
+        diffC.foreach(p => p.sliding(2).foreach(w =>
+          assert(!poly.contains((w(0) + w(1)).normalize), s"trial $trial diffC")))
+      }
+    }
+  }
+
   test("empty polygon: intersection empty, difference = whole line") {
     val l = line((5, 5), (6, 6))
     assert(intersection(l, S2Polygon.empty).isEmpty)

@@ -26,6 +26,18 @@ class PipelineOpsSpec extends AnyFunSuite {
     docs.unionByName(exact).unionByName(near).cache()
   }
 
+  test("mersMod == % for the kernel's full operand range") {
+    val rnd = new scala.util.Random(3)
+    val M = Dedup.HashM
+    for (_ <- 0 until 200000) {
+      val x = math.abs(rnd.nextLong()) % (1L << 62)
+      assert(Dedup.mersMod(x) == x % M, s"x=$x")
+    }
+    // boundary cases
+    for (x <- Seq(0L, 1L, M - 1, M, M + 1, 2 * M, (1L << 62) - 1))
+      assert(Dedup.mersMod(x) == x % M, s"x=$x")
+  }
+
   test("exact dedup finds planted exact duplicates and only those") {
     val nExact = docs.where(col("doc_id") % 7 === 0).count()
     val dups = Dedup.exactDuplicates(withDups, "doc_id", "text")
