@@ -43,6 +43,84 @@ object PolylineBooleanOps {
                  model: Model = Closed): Seq[Array[V3]] =
     clip(line, poly, keepInside = false, model)
 
+  // ---- polyline × polyline operands (s2boolean_operation.h polyline
+  // model with polyline operands): the 1-dimensional results are the
+  // SHARED SUBSEGMENTS. Point contacts (crossings, touching endpoints)
+  // are dimension-0 degeneracies and discarded (DISCARD policy). ----
+
+  /** Subsegments of `a` that also lie on `b` (either direction). */
+  def polylineIntersection(a: Array[V3], b: Array[V3]): Seq[Array[V3]] =
+    sharedSplit(a, b, keepShared = true)
+
+  /** Subsegments of `a` not lying on `b`. */
+  def polylineDifference(a: Array[V3], b: Array[V3]): Seq[Array[V3]] =
+    sharedSplit(a, b, keepShared = false)
+
+  /** Union as a polyline collection: all of `a` plus `b` minus the shared
+    * subsegments (each shared run appears once). */
+  def polylineUnion(a: Array[V3], b: Array[V3]): Seq[Array[V3]] =
+    Seq(a) ++ polylineDifference(b, a)
+
+  /** Split `a`'s edges at `b`-vertices lying exactly in their interior
+    * (collinear-overlap endpoints), then keep/drop elementary subsegments
+    * by whether they are contained in some `b` edge. */
+  private def sharedSplit(a: Array[V3], b: Array[V3],
+                          keepShared: Boolean): Seq[Array[V3]] = {
+    val bEdges: Array[(V3, V3, V3)] =
+      (0 until b.length - 1).iterator
+        .map(i => (b(i), b(i + 1)))
+        .filter { case (u, v) => u != v }
+        .map { case (u, v) => (u, v, u.cross(v)) }
+        .toArray
+    def onArcInclusive(c: V3, d: V3, w: V3): Boolean =
+      w == c || w == d || S2Predicates.collinearBetween(c, d, w)
+    val pieces = new mutable.ArrayBuffer[Array[V3]]()
+    val current = new mutable.ArrayBuffer[V3]()
+    def flush(): Unit = {
+      if (current.length >= 2) pieces += current.toArray
+      current.clear()
+    }
+    var i = 0
+    while (i < a.length - 1) {
+      val u = a(i); val v = a(i + 1)
+      if (u != v) {
+        val uxv = u.cross(v)
+        var events: mutable.ArrayBuffer[V3] = null
+        for ((c, d, _) <- bEdges) {
+          for (w <- Iterator(c, d)) {
+            if (S2Predicates.onGreatCircle(u, v, uxv, w) &&
+                S2Predicates.collinearBetween(u, v, w)) {
+              if (events == null) events = new mutable.ArrayBuffer[V3](2)
+              events += w
+            }
+          }
+        }
+        val pts: Array[V3] =
+          if (events == null) Array(u, v)
+          else (u +: events.distinct.sortBy(p => (p - u).norm2).toArray) :+ v
+        var k = 0
+        while (k < pts.length - 1) {
+          val p = pts(k); val q = pts(k + 1)
+          if (p != q) {
+            val shared = bEdges.exists { case (c, d, cxd) =>
+              S2Predicates.onGreatCircle(c, d, cxd, p) &&
+                S2Predicates.onGreatCircle(c, d, cxd, q) &&
+                onArcInclusive(c, d, p) && onArcInclusive(c, d, q)
+            }
+            if (shared == keepShared) {
+              if (current.nonEmpty && current.last == p) current += q
+              else { flush(); current += p; current += q }
+            } else flush()
+          }
+          k += 1
+        }
+      }
+      i += 1
+    }
+    flush()
+    pieces.toSeq
+  }
+
   private def clip(line: Array[V3], poly: S2Polygon, keepInside: Boolean,
                    model: Model): Seq[Array[V3]] = {
     // polygon directed edges, interior on the left (holes reversed)

@@ -156,6 +156,40 @@ class PolylineBooleanOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("polyline x polyline: shared subsegments, difference, union") {
+    // A runs the equator 0..30; B shares [10, 20] exactly (same endpoints
+    // on the same great circle), plus a disjoint branch
+    val a = line((0, 0), (0, 10), (0, 20), (0, 30))
+    val b = line((0, 10), (0, 20), (10, 25))
+    val inter = polylineIntersection(a, b)
+    assert(inter.size == 1)
+    assert(inter.head.head == V3.fromLatLngDegrees(0, 10))
+    assert(inter.head.last == V3.fromLatLngDegrees(0, 20))
+    val diff = polylineDifference(a, b)
+    assert(diff.size == 2) // [0,10] and [20,30]
+    assert(math.abs(totalAngle(Seq(a)) -
+      (totalAngle(inter) + totalAngle(diff))) < 1e-12)
+    // partial overlap via sub-segment: B2 covers [0:5 .. 0:12] of A's
+    // first edge — splits at B2's endpoints (both interior to A edges)
+    // (0,12) is interior to A's second edge; all equator points share one
+    // great circle, so both splits register exactly
+    val b2 = line((0, 5), (0, 12))
+    val i2 = polylineIntersection(a, b2)
+    assert(math.abs(totalAngle(i2) - totalAngle(Seq(b2))) < 1e-12)
+    // reversed direction still shares
+    val i3 = polylineIntersection(a, line((0, 12), (0, 5)))
+    assert(math.abs(totalAngle(i3) - totalAngle(Seq(b2))) < 1e-12)
+    // union covers each shared run once
+    val uni = polylineUnion(a, b)
+    val want = totalAngle(Seq(a)) + totalAngle(Seq(b)) - totalAngle(inter)
+    assert(math.abs(totalAngle(uni) - want) < 1e-12)
+    // crossing-only contact: no 1-dimensional intersection
+    val crossing = line((-5, 15), (5, 15))
+    assert(polylineIntersection(a, crossing).isEmpty)
+    assert(math.abs(totalAngle(polylineDifference(a, crossing)) -
+      totalAngle(Seq(a))) < 1e-12)
+  }
+
   test("empty polygon: intersection empty, difference = whole line") {
     val l = line((5, 5), (6, 6))
     assert(intersection(l, S2Polygon.empty).isEmpty)
