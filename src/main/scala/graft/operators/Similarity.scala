@@ -121,22 +121,33 @@ object Similarity {
     * `tables` independent hash tables; candidates then ranked by exact
     * cosine. Recall < 1 by construction (report as approximate): the
     * candidate join is equi on (table, bucket) — shuffle O(n·tables), not
-    * O(n·queries). */
+    * O(n·queries).
+    *
+    * Shuffle discipline: bucket rows and the candidate-pair dedup carry
+    * (id, table, bucket) scalars only; data vectors ride exactly one
+    * id-keyed join to co-locate them for scoring, the (small) query side
+    * broadcasts, and the final top-k window shuffles scored scalars. */
   def annTopK(data: DataFrame, idCol: String, vecCol: String,
               queries: DataFrame, qidCol: String, qvecCol: String,
               k: Int, nPlanes: Int = 12, tables: Int = 4): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    def withBuckets(df: DataFrame, vc: String): DataFrame =
-      df.select(col("*"), posexplode(tableBuckets(col(vc), nPlanes, tables)).as(Seq("_t", "_b")))
-    val d = withBuckets(data.select(col(idCol).as("id"), col(vecCol).as("v"),
-      normUdf(col(vecCol)).as("nv")), "v")
-    val q = withBuckets(queries.select(col(qidCol).as("qid"), col(qvecCol).as("qv"),
-      normUdf(col(qvecCol)).as("nq")), "qv")
-    val cands = d.join(broadcast(q), Seq("_t", "_b"))
-      .select("qid", "id", "v", "qv", "nv", "nq").distinct()
+    val dBase = data.select(col(idCol).as("id"), col(vecCol).as("v"),
+      normUdf(col(vecCol)).as("nv"))
+    val qBase = queries.select(col(qidCol).as("qid"), col(qvecCol).as("qv"),
+      normUdf(col(qvecCol)).as("nq"))
+    val dBuckets = dBase.select(col("id"),
+      posexplode(tableBuckets(col("v"), nPlanes, tables)).as(Seq("_t", "_b")))
+    val qBuckets = qBase.select(col("qid"),
+      posexplode(tableBuckets(col("qv"), nPlanes, tables)).as(Seq("_t", "_b")))
+    val candIds = dBuckets.join(broadcast(qBuckets), Seq("_t", "_b"))
+      .select("qid", "id").distinct()
+    val scored = candIds
+      .join(dBase, "id")
+      .join(broadcast(qBase), "qid")
       .withColumn("score", cosinePre(dotUdf(col("v"), col("qv")), col("nv"), col("nq")))
+      .select("qid", "id", "score")
     val w = Window.partitionBy("qid").orderBy(col("score").desc, col("id"))
-    cands.withColumn("rank", row_number().over(w))
+    scored.withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select("qid", "id", "score", "rank")
   }

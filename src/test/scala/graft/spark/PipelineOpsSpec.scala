@@ -187,6 +187,33 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("annTopK: candidate dedup shuffles carry ids only") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.types.ArrayType
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val queries = emb.where(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val top = Similarity.annTopK(emb, "vec_id", "embedding",
+        queries, "qid", "qv", k = 10, nPlanes = 4, tables = 8)
+      val exchanges = top.queryExecution.executedPlan.collect {
+        case e: ShuffleExchangeExec => e }
+      val vectorCarrying = exchanges.filter(
+        _.output.exists(_.dataType.isInstanceOf[ArrayType]))
+      // only the id-keyed data-vector join (and, with broadcast disabled,
+      // the query-side join) may move embeddings — never the bucket join,
+      // the candidate distinct, or the top-k window
+      assert(vectorCarrying.size <= 2,
+        vectorCarrying.map(_.output.map(_.name).mkString(",")).mkString("\n"))
+      assert(exchanges.size - vectorCarrying.size >= 2)
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
+
   test("ANN SRP-LSH achieves decent recall vs brute force") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
     val queries = emb.where(col("vec_id") < 5)
