@@ -311,6 +311,24 @@ object SparkEntry {
         .agg(count(lit(1)).as("cnt"), sum("doc_id").as("sum_id"))
     }),
 
+    "q_s2_edge_cross" -> ((s, dir) => {
+      // segment×segment proper-crossing join over consecutive-doc arcs
+      // (doc_id < 200 — SF-independent geometry). Adjacent segments share
+      // an endpoint: excluded on both sides (|id gap| > 1) because the
+      // exact engine short-circuits shared vertices to "no crossing"
+      // while the oracle's plain determinants see ±1e-17 noise there.
+      val d = docsGeo(s, dir).select("doc_id", "lat", "lng")
+      val segs = d.as("p").join(d.as("q"), col("q.doc_id") === col("p.doc_id") + 1)
+        .where(col("p.doc_id") < 200)
+        .select(col("p.doc_id").as("sid"),
+          col("p.lat").as("lat1"), col("p.lng").as("lng1"),
+          col("q.lat").as("lat2"), col("q.lng").as("lng2"))
+      RegionJoins.edgeCrossingJoin(segs, "sid", segs, "sid")
+        .where(col("id_b") > col("id_a") + 1)
+        .groupBy(col("id_a"))
+        .agg(count(lit(1)).as("cnt"), sum("id_b").as("sum_b"))
+    }),
+
     "q_s2_region_union" -> ((s, dir) => {
       // composite region types (S2RegionUnion / S2RegionIntersection):
       // the combinators drop directly into the broadcast stab machinery —
@@ -837,6 +855,33 @@ object SparkEntry {
           UNION ALL
           SELECT 4 AS op_id, doc_id FROM $docsXyzSql p WHERE (${pipWhere(P1)}) <> (${pipWhere(P3)}))
         GROUP BY op_id""",
+
+      "q_s2_edge_cross" -> {
+        // proper-crossing mirror: the engine's CrossingSign reduces (for
+        // generic-position inputs, decisive triage) to four plain
+        // determinant signs — s(A1,A2,B1) = −s(A1,A2,B2) = s(B1,B2,A2) =
+        // −s(B1,B2,A1) ≠ 0 — evaluated here with the identical IEEE
+        // expressions over the same unit vectors
+        val det =
+          (n: (String, String, String), p: (String, String, String)) =>
+            s"((${n._1}) * ${p._1} + (${n._2}) * ${p._2} + (${n._3}) * ${p._3})"
+        val na = ("a.ay*a.bz - a.az*a.by", "a.az*a.bx - a.ax*a.bz", "a.ax*a.by - a.ay*a.bx")
+        val nb = ("b.ay*b.bz - b.az*b.by", "b.az*b.bx - b.ax*b.bz", "b.ax*b.by - b.ay*b.bx")
+        val d1 = det(na, ("b.ax", "b.ay", "b.az")) // s(A1,A2,B1)
+        val d2 = det(na, ("b.bx", "b.by", "b.bz")) // s(A1,A2,B2)
+        val d3 = det(nb, ("a.ax", "a.ay", "a.az")) // s(B1,B2,A1)
+        val d4 = det(nb, ("a.bx", "a.by", "a.bz")) // s(B1,B2,A2)
+        s"""WITH s AS (
+              SELECT p.doc_id AS sid, p.x AS ax, p.y AS ay, p.z AS az,
+                     q.x AS bx, q.y AS by, q.z AS bz
+              FROM $docsXyzSql p JOIN $docsXyzSql q ON q.doc_id = p.doc_id + 1
+              WHERE p.doc_id < 200)
+            SELECT a.sid AS id_a, count(*) AS cnt, CAST(sum(b.sid) AS BIGINT) AS sum_b
+            FROM s a JOIN s b ON b.sid > a.sid + 1
+            WHERE (($d1) > 0 AND ($d2) < 0 AND ($d4) > 0 AND ($d3) < 0)
+               OR (($d1) < 0 AND ($d2) > 0 AND ($d4) < 0 AND ($d3) > 0)
+            GROUP BY a.sid"""
+      },
 
       "q_s2_region_union" -> {
         val (_, c1, r2) = caps(0)

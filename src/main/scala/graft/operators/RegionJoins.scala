@@ -38,6 +38,55 @@ object RegionJoins {
       .select("lid", "rid")
   }
 
+  /** Segment × segment proper-crossing join (BOTH sides large — the
+    * road-intersection shape): each segment emits S2RegionTermIndexer
+    * index/query terms for its bounding cap, candidates share ≥1 term
+    * (one equi-join shuffle carrying id + 4 coordinate scalars per term,
+    * AQE/skew eligible, never all-pairs), then the EXACT crossing
+    * predicate refines (S2EdgeCrossings.crossingSign — the
+    * s2edge_crossings.cc CrossingSign ladder). Shared-endpoint contacts
+    * are excluded (crossingSign = 0 there; use vertexCrossing semantics
+    * downstream if needed). Returns (id_a, id_b). */
+  def edgeCrossingJoin(left: DataFrame, leftId: String,
+                       right: DataFrame, rightId: String,
+                       lat1: String = "lat1", lng1: String = "lng1",
+                       lat2: String = "lat2", lng2: String = "lng2",
+                       segIndexer: S2TermIndexer = new S2TermIndexer()): DataFrame = {
+    def cap(la1: Double, ln1: Double, la2: Double, ln2: Double): S2Cap = {
+      val u = V3.fromLatLngDegrees(la1, ln1)
+      val v = V3.fromLatLngDegrees(la2, ln2)
+      val c0 = u + v
+      val center = if (c0.norm2 < 1e-30) u else c0.normalize
+      S2Cap.fromCenterAngle(center, math.min(math.Pi, center.angle(u) + 1e-14))
+    }
+    val segIdxTerms = udf { (la1: Double, ln1: Double, la2: Double, ln2: Double) =>
+      segIndexer.indexTerms(cap(la1, ln1, la2, ln2)) }
+    val segQryTerms = udf { (la1: Double, ln1: Double, la2: Double, ln2: Double) =>
+      segIndexer.queryTerms(cap(la1, ln1, la2, ln2)) }
+    val crosses = udf {
+      (a1La: Double, a1Ln: Double, a2La: Double, a2Ln: Double,
+       b1La: Double, b1Ln: Double, b2La: Double, b2Ln: Double) =>
+        S2EdgeCrossings.crossingSign(
+          V3.fromLatLngDegrees(a1La, a1Ln), V3.fromLatLngDegrees(a2La, a2Ln),
+          V3.fromLatLngDegrees(b1La, b1Ln), V3.fromLatLngDegrees(b2La, b2Ln)) > 0
+    }
+    val l = left.select(col(leftId).as("id_a"),
+      col(lat1).cast("double").as("_la1"), col(lng1).cast("double").as("_ln1"),
+      col(lat2).cast("double").as("_la2"), col(lng2).cast("double").as("_ln2"))
+      .withColumn("term",
+        explode(segIdxTerms(col("_la1"), col("_ln1"), col("_la2"), col("_ln2"))))
+    val r = right.select(col(rightId).as("id_b"),
+      col(lat1).cast("double").as("_rb1"), col(lng1).cast("double").as("_rn1"),
+      col(lat2).cast("double").as("_rb2"), col(lng2).cast("double").as("_rn2"))
+      .withColumn("term",
+        explode(segQryTerms(col("_rb1"), col("_rn1"), col("_rb2"), col("_rn2"))))
+    l.join(r, "term").drop("term")
+      .dropDuplicates("id_a", "id_b")
+      .where(crosses(col("_la1"), col("_ln1"), col("_la2"), col("_ln2"),
+        col("_rb1"), col("_rn1"), col("_rb2"), col("_rn2")))
+      .select("id_a", "id_b")
+  }
+
   /** Exact polygon×polygon intersects join (polygon text columns, both
     * sides arbitrary size): covering-term candidates + exact
     * S2Polygon.intersectsPolygon refine (edge crossings + containment,

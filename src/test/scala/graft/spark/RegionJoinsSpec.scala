@@ -37,6 +37,32 @@ class RegionJoinsSpec extends AnyFunSuite {
     assert(want.nonEmpty)
   }
 
+  test("edgeCrossingJoin matches brute-force crossingSign over random segments") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val segs = (0 until 120).map { i =>
+      // mixed lengths in a shared window: local streets + long transit arcs
+      val la = rnd.nextDouble() * 50 - 25
+      val ln = rnd.nextDouble() * 50 - 25
+      val span = if (i % 4 == 0) 45 else 12
+      (i, la, ln,
+        math.max(-89.0, math.min(89.0, la + rnd.nextDouble() * span - span / 2)),
+        ln + rnd.nextDouble() * span - span / 2)
+    }
+    val df = segs.toDF("sid", "lat1", "lng1", "lat2", "lng2")
+    val got = RegionJoins.edgeCrossingJoin(df, "sid", df, "sid")
+      .where(col("id_a") < col("id_b"))
+      .collect().map(r => (r.getInt(0), r.getInt(1))).toSet
+    val vs = segs.map { case (i, a, b, c, d) =>
+      (i, V3.fromLatLngDegrees(a, b), V3.fromLatLngDegrees(c, d)) }
+    val want = (for {
+      (i, a1, a2) <- vs; (j, b1, b2) <- vs if i < j
+      if S2EdgeCrossings.crossingSign(a1, a2, b1, b2) > 0
+    } yield (i, j)).toSet
+    assert(got == want)
+    assert(want.size > 20, s"want ${want.size} crossings") // non-trivial
+  }
+
   test("cell-union set algebra columns match kernels") {
     import spark.implicits._
     val a = capUnion(10, 20, 0.3)
