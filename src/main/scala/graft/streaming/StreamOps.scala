@@ -59,6 +59,38 @@ object StreamOps {
   case class CellState(count: Long, lastSeenMs: Long)
   case class CellUpdate(cell: Long, count: Long, lastSeenMs: Long)
 
+  /** Streaming exact dedup: emit only the FIRST occurrence of each
+    * normalized-text content hash across the whole stream (the
+    * training-pipeline dedup applied at ingest time). State per content
+    * hash is one boolean — flatMapGroupsWithState keyed by the 64-bit
+    * content hash, so state size is O(distinct docs), never text. Output
+    * = (doc_id, content_hash) of first-seen rows (join back to payload
+    * downstream by id, same discipline as the batch path). */
+  case class DedupEmit(doc_id: Long, content_hash: Long)
+
+  def streamingExactDedup(stream: DataFrame, idCol: String,
+                          textCol: String): DataFrame = {
+    val spark = stream.sparkSession
+    import spark.implicits._
+    stream
+      .select(col(idCol).cast("long").as("doc_id"),
+        xxhash64(graft.operators.Dedup.normText(col(textCol))).as("content_hash"))
+      .as[(Long, Long)]
+      .groupByKey(_._2)
+      .flatMapGroupsWithState[Boolean, DedupEmit](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (hash: Long, rows: Iterator[(Long, Long)], state: GroupState[Boolean]) =>
+          if (state.exists) Iterator.empty // hash already emitted
+          else {
+            state.update(true)
+            // deterministic representative within the micro-batch: min id
+            var minId = Long.MaxValue
+            rows.foreach { r => if (r._1 < minId) minId = r._1 }
+            Iterator.single(DedupEmit(minId, hash))
+          }
+      }.toDF()
+  }
+
   def runningCellCounts(stream: DataFrame, level: Int,
                         timeout: Option[String] = None): DataFrame = {
     val spark = stream.sparkSession

@@ -100,6 +100,37 @@ class StreamOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming exact dedup emits each content hash once across micro-batches") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val out = graft.streaming.StreamOps.streamingExactDedup(
+      mem.toDF().toDF("doc_id", "text"), "doc_id", "text")
+    val q = out.writeStream.format("memory").queryName("stream_dedup")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData((1L, "alpha beta"), (2L, "ALPHA   beta"), (3L, "gamma"))
+      q.processAllAvailable()
+      // batch 2: duplicate of batch 1 (cross-batch state) + a new doc
+      mem.addData((4L, "alpha beta"), (5L, "delta"))
+      q.processAllAvailable()
+      val rows = spark.table("stream_dedup").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      // normalization folds (1,2) into one hash; 4 is a cross-batch dup
+      assert(rows.length == 3)
+      val ids = rows.map(_._1).toSet
+      assert(ids.contains(1L) && ids.contains(3L) && ids.contains(5L))
+      assert(!ids.contains(2L) && !ids.contains(4L))
+      // matches the batch dedup representative set on the same data
+      val batch = Seq((1L, "alpha beta"), (2L, "ALPHA   beta"), (3L, "gamma"),
+        (4L, "alpha beta"), (5L, "delta")).toDF("doc_id", "text")
+      val batchKeep = graft.operators.Dedup
+        .exactDuplicates(batch, "doc_id", "text")
+        .collect().map(_.getLong(1)).toSet // keep_id
+      assert(ids == batchKeep)
+    } finally q.stop()
+  }
+
   test("runningCellCounts keeps per-cell state across batches") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
