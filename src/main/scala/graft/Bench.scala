@@ -20,7 +20,7 @@ object Bench {
   private val headline = Seq(
     "q1_agg", "q_s2_rect_join", "q_s2_pip_join", "q_s2_knn",
     "q_s2_tile_assign", "q_s2_term_join", "q_dedup_minhash", "q_ann_topk",
-    "q_text_stats", "q_closest_shapes_1k", "q_knn_large")
+    "q_text_stats", "q_closest_shapes_1k", "q_knn_10k_targets", "q_knn_large")
 
   /** Bench-only heavy-operator queries (not driver-gated: a 10^3-shape
     * oracle would be megabytes of SQL; correctness is covered by the
@@ -40,6 +40,17 @@ object Bench {
           V3.fromLatLngDegrees(lat + 0.2, lng - 0.7)), closed = true)
       }
       EdgeQueries.closestShapesJoin(SparkEntry.docsGeo(s, dir), shapes, k = 3)
+    }),
+    // broadcast kNN at 10^4 targets: exercises the ring-certified pruned
+    // path (counting pass bounds each target's k-th distance; per-doc
+    // work scales with local target density, not target count)
+    "q_knn_10k_targets" -> ((s, dir) => {
+      val rnd = new scala.util.Random(5)
+      val targets = (0 until 10000).map { i =>
+        (i, V3.fromLatLngDegrees(rnd.nextDouble() * 170 - 85,
+          rnd.nextDouble() * 360 - 180))
+      }
+      S2Joins.knnJoin(SparkEntry.docsGeo(s, dir), targets, k = 3)
     }),
     // large×large kNN: radius-ladder term joins, certified top-k per
     // target, pi-round guarantee (no driver-side fallback on this input).
