@@ -405,11 +405,22 @@ object S2Joins {
     val nRings = ringRadii.length
     val radii = ringRadii.toArray
     val ringChord2 = radii.map(S1ChordAngle.fromRadians)
-    val cov = new S2RegionCoverer(8, 0, 30)
-    val rings: Array[CellIntervalIndex] = radii.map { r =>
-      CellIntervalIndex.build((0 until nT).map { i =>
-        (i, cov.getCovering(S2Cap.fromCenterAngle(ts(i)._2, r)), Array.empty[Long])
-      })
+    // ring indexes are independent: build them on driver threads (the
+    // coverer is per-thread — it is cheap, not thread-shared state)
+    val rings: Array[CellIntervalIndex] = {
+      val out = new Array[CellIntervalIndex](nRings)
+      val threads = radii.indices.map { ri =>
+        new Thread(() => {
+          val cov = new S2RegionCoverer(8, 0, 30)
+          out(ri) = CellIntervalIndex.build((0 until nT).map { i =>
+            (i, cov.getCovering(S2Cap.fromCenterAngle(ts(i)._2, radii(ri))),
+              Array.empty[Long])
+          })
+        })
+      }
+      threads.foreach(_.start())
+      threads.foreach(_.join())
+      out
     }
     val tPts = ts.map(_._2)
     val bc = spark.sparkContext.broadcast((rings, ringChord2, tPts))
@@ -475,8 +486,9 @@ object S2Joins {
     val tail = (0 until nT).filter(ringOf(_) < 0).toArray
 
     // ---- pass 2: stab cap(t, r_t), heap only certified candidates + tail ----
+    val cov2 = new S2RegionCoverer(8, 0, 30)
     val capIdx = CellIntervalIndex.build(certified.toSeq.map { s =>
-      (s, cov.getCovering(S2Cap.fromCenterAngle(tPts(s), radii(ringOf(s)))),
+      (s, cov2.getCovering(S2Cap.fromCenterAngle(tPts(s), radii(ringOf(s)))),
         Array.empty[Long])
     })
     val bound = new Array[Double](nT)
