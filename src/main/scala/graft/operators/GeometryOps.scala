@@ -61,6 +61,48 @@ object GeometryOps {
   def windingContains(text: Column, rule: Column, lat: Column, lng: Column): Column =
     windingContainsUdf(text, rule, lat, lng)
 
+  /** Winding-rule region MATERIALIZATION: directed ring set (";"-joined
+    * ring texts) → parity-model polygon text (arbitrary crossing sets). */
+  val windingPolygonUdf = udf { (text: String, rule: String) =>
+    val rings = text.split(";").map(S2TextFormat.parsePoints).filter(_.nonEmpty)
+    toText(S2Winding.toPolygon(rings.toSeq, ruleOf(rule)))
+  }
+  def windingPolygon(text: Column, rule: Column): Column =
+    windingPolygonUdf(text, rule)
+
+  /** Clip a polyline text against a polygon text (PolylineModel; model ∈
+    * OPEN / SEMI_OPEN / CLOSED; op ∈ INTERSECTION / DIFFERENCE). Returns
+    * the clipped pieces as polyline texts. */
+  val polylineClipUdf = udf { (lineText: String, polyText: String,
+                               op: String, model: String) =>
+    val line = S2TextFormat.parsePoints(lineText)
+    val poly = PolyCache.get(polyText)
+    val m: PolylineBooleanOps.Model = model.toUpperCase match {
+      case "OPEN" => PolylineBooleanOps.Open
+      case "SEMI_OPEN" => PolylineBooleanOps.SemiOpen
+      case _ => PolylineBooleanOps.Closed
+    }
+    val pieces = op.toUpperCase match {
+      case "DIFFERENCE" => PolylineBooleanOps.difference(line, poly, m)
+      case _ => PolylineBooleanOps.intersection(line, poly, m)
+    }
+    pieces.map(p => p.map(v =>
+      s"${V3.latDegrees(v)}:${V3.lngDegrees(v)}").mkString(", ")).toArray
+  }
+  def polylineClip(line: Column, poly: Column, op: Column, model: Column): Column =
+    polylineClipUdf(line, poly, op, model)
+
+  /** Point at `distRad` along a polyline text (chain interpolation):
+    * struct(lat, lng, edge, distance), null for degenerate chains. */
+  val polylineAtDistanceUdf = udf { (lineText: String, distRad: Double) =>
+    val q = new S2ChainInterpolation(Seq(S2TextFormat.parsePoints(lineText)))
+    q.atDistance(distRad).map { r =>
+      (V3.latDegrees(r.point), V3.lngDegrees(r.point), r.edge, r.distance)
+    }.orNull
+  }
+  def polylineAtDistance(line: Column, distRad: Column): Column =
+    polylineAtDistanceUdf(line, distRad)
+
   /** Register the SQL-callable names. */
   def registerAll(spark: SparkSession): Unit = {
     spark.udf.register("s2_polygon_union", polygonUnionUdf)
@@ -71,5 +113,8 @@ object GeometryOps {
     spark.udf.register("s2_polygon_area", polygonAreaUdf)
     spark.udf.register("s2_polygon_hausdorff", RegionJoins.polygonHausdorffUdf)
     spark.udf.register("s2_winding_contains", windingContainsUdf)
+    spark.udf.register("s2_winding_polygon", windingPolygonUdf)
+    spark.udf.register("s2_polyline_clip", polylineClipUdf)
+    spark.udf.register("s2_polyline_at_distance", polylineAtDistanceUdf)
   }
 }

@@ -41,6 +41,34 @@ class GeometryOpsSpec extends AnyFunSuite {
     assert(grown.getDouble(0) > grown.getDouble(1))
   }
 
+  test("round-3 geometry columns: winding polygon, polyline clip, at-distance") {
+    import spark.implicits._
+    val df = Seq((
+      "0:0, 0:10, 10:10, 10:0; 5:5, 5:15, 15:15, 15:5", // crossing rings
+      "5:-5, 5:20",                                     // crossing polyline
+      "0:0, 0:10, 10:10, 10:0"                          // polygon
+    )).toDF("rings", "line", "poly")
+    val out = df.select(
+      GeometryOps.polygonArea(
+        GeometryOps.windingPolygon($"rings", lit("POSITIVE"))).as("wa"),
+      GeometryOps.polylineClip($"line", $"poly", lit("INTERSECTION"),
+        lit("CLOSED")).as("pieces"),
+      GeometryOps.polylineAtDistance($"line", lit(math.toRadians(10))).as("at")
+    ).head()
+    // POSITIVE over crossing rings = union area
+    val pa = S2TextFormat.parsePolygon("0:0, 0:10, 10:10, 10:0")
+    val pb = S2TextFormat.parsePolygon("5:5, 5:15, 15:15, 15:5")
+    assert(math.abs(out.getDouble(0) - S2BooleanOps.union(pa, pb).area) < 1e-12)
+    // one clipped piece crossing the polygon
+    val pieces = out.getSeq[String](1)
+    assert(pieces.length == 1)
+    assert(S2TextFormat.parsePoints(pieces.head).length >= 2)
+    // at-distance lands 10 deg along the lat-5 arc
+    val at = out.getStruct(2)
+    assert(math.abs(at.getDouble(3) - math.toRadians(10)) < 1e-12)
+    assert(at.getInt(2) == 0)
+  }
+
   test("SQL-registered geometry functions work end to end") {
     GeometryOps.registerAll(spark)
     val r = spark.sql("""
