@@ -46,7 +46,12 @@ object RegionJoins {
     * predicate refines (S2EdgeCrossings.crossingSign — the
     * s2edge_crossings.cc CrossingSign ladder). Shared-endpoint contacts
     * are excluded (crossingSign = 0 there; use vertexCrossing semantics
-    * downstream if needed). Returns (id_a, id_b). */
+    * downstream if needed). Returns (id_a, id_b).
+    *
+    * Scale note: bounding-cap coverings of VERY LONG arcs are loose
+    * (a quarter-sphere segment pulls quarter-sphere candidates) —
+    * tessellate long segments first (Projections tessellator) so each
+    * piece's cap is tight; short road-network segments need nothing. */
   def edgeCrossingJoin(left: DataFrame, leftId: String,
                        right: DataFrame, rightId: String,
                        lat1: String = "lat1", lng1: String = "lng1",

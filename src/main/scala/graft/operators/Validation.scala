@@ -98,6 +98,36 @@ object Validation {
     None
   }
 
+  /** Polyline validation (reference S2Polyline::FindValidationError,
+    * s2polyline.cc): ≥ 2 vertices for an edge, unit-length finite
+    * vertices, no identical adjacent vertices (degenerate edges), no
+    * antipodal adjacent vertices (undefined geodesic). */
+  def validatePolyline(vertices: Array[V3]): Option[String] = {
+    if (vertices.length < 2) return Some("TOO_FEW_VERTICES")
+    var i = 0
+    while (i < vertices.length) {
+      val v = vertices(i)
+      if (!java.lang.Double.isFinite(v.x) || !java.lang.Double.isFinite(v.y) ||
+          !java.lang.Double.isFinite(v.z)) return Some("NON_FINITE_VERTEX")
+      if (math.abs(v.norm2 - 1.0) > 1e-10) return Some("NOT_UNIT_LENGTH")
+      if (i > 0) {
+        if (v == vertices(i - 1)) return Some("DUPLICATE_ADJACENT_VERTICES")
+        if (v == -vertices(i - 1)) return Some("ANTIPODAL_ADJACENT_VERTICES")
+      }
+      i += 1
+    }
+    None
+  }
+
+  private val validatePolylineUdf = udf { (text: String) =>
+    (try validatePolyline(S2TextFormat.parsePoints(text))
+     catch { case _: Exception => Some("PARSE_ERROR") }).orNull
+  }
+
+  /** Adds `line_error` (null = valid) for a polyline-text column. */
+  def withPolylineValidation(df: DataFrame, lineTextCol: String): DataFrame =
+    df.withColumn("line_error", validatePolylineUdf(col(lineTextCol)))
+
   /** Cross-loop audit: boundary edges of distinct loops must not properly
     * cross (reference S2Polygon::FindValidationError; the full shell/hole
     * nesting hierarchy is computed by [[graft.operators.Nesting]]). */

@@ -32,6 +32,25 @@ class ValidationSpec extends AnyFunSuite {
     assert(Validation.validOnly(rows.toDF("name", "poly"), "poly").count() == 1)
   }
 
+  test("polyline validation flags degenerate chains, passes clean ones") {
+    import spark.implicits._
+    val df = Seq(
+      "0:0, 0:10, 5:15",          // valid
+      "0:0",                       // too few
+      "0:0, 0:0, 0:10",            // duplicate adjacent
+      "not a polyline"             // parse error
+    ).toDF("line")
+    val got = Validation.withPolylineValidation(df, "line")
+      .select("line_error").collect().map(r => Option(r.getString(0)))
+    assert(got(0).isEmpty)
+    assert(got(1).contains("TOO_FEW_VERTICES"))
+    assert(got(2).contains("DUPLICATE_ADJACENT_VERTICES"))
+    assert(got(3).contains("PARSE_ERROR"))
+    // kernel-level: antipodal adjacent
+    assert(Validation.validatePolyline(Array(V3(1, 0, 0), V3(-1, 0, 0)))
+      .contains("ANTIPODAL_ADJACENT_VERTICES"))
+  }
+
   test("pruned self-intersection scan = naive scan on random loops") {
     val rnd = new scala.util.Random(17)
     for (trial <- 0 until 30) {
