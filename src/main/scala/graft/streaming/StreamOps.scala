@@ -91,6 +91,108 @@ object StreamOps {
       }.toDF()
   }
 
+  /** Bounded-state streaming dedup: suppress duplicate content hashes that
+    * arrive within the watermark delay of each other via
+    * `dropDuplicatesWithinWatermark`. The state for a hash becomes
+    * evictable once the watermark passes its event time, so state size is
+    * bounded by (ingest rate x lateness) instead of growing with all-time
+    * distinct documents — the tradeoff [[streamingExactDedup]] makes in
+    * the other direction. At sustained 100 TB/day ingest this is the
+    * variant whose state survives; pair it with a periodic batch
+    * Dedup.exactDuplicates sweep for all-time exactness. */
+  def streamingDedupBounded(stream: DataFrame, idCol: String, textCol: String,
+                            tsCol: String, lateness: String): DataFrame =
+    stream
+      .select(col(idCol).cast("long").as("doc_id"), col(tsCol).as("ts"),
+        xxhash64(graft.operators.Dedup.normText(col(textCol))).as("content_hash"))
+      .withWatermark("ts", lateness)
+      .dropDuplicatesWithinWatermark("content_hash")
+
+  /** A closed spatial visit: `entity` stayed inside level-`level` cell
+    * `cell` from `enter_ts` to `exit_ts` (epoch millis), pinging
+    * `n_pings` times. */
+  case class Visit(entity: Long, cell: Long, enter_ts: Long, exit_ts: Long,
+                   n_pings: Long)
+  case class VisitState(enterMs: Long, lastMs: Long, count: Long)
+
+  /** Event-time spatial sessionization: group a ping stream by
+    * (entity, level-k cell) and emit one row per completed VISIT — closed
+    * when no ping for that (entity, cell) arrives within `gapSeconds` of the
+    * last one, judged in EVENT time against the stream's watermark (so
+    * out-of-order pings inside the lateness bound still extend the right
+    * visit, and state for a quiet cell is dropped exactly once). This is
+    * the trajectory-pipeline "stay detection" primitive; state per open
+    * visit is three longs. */
+  def visitSessions(stream: DataFrame, entityCol: String, tsCol: String,
+                    level: Int, lateness: String, gapSeconds: Long): DataFrame = {
+    val spark = stream.sparkSession
+    import spark.implicits._
+    val gapMillis = gapSeconds * 1000L
+    stream
+      .select(col(entityCol).cast("long").as("entity"),
+        S2.parent(col("cell_id"), level).as("cell"),
+        col(tsCol).cast("timestamp").as("ts"))
+      // watermark AFTER the select: casting/aliasing mints a new attribute
+      // and would strip the event-time tag from the projected column
+      .withWatermark("ts", lateness)
+      .as[(Long, Long, java.sql.Timestamp)]
+      .groupByKey(r => (r._1, r._2))
+      .flatMapGroupsWithState[VisitState, Visit](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout) {
+        (key: (Long, Long), rows: Iterator[(Long, Long, java.sql.Timestamp)],
+         state: GroupState[VisitState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(Visit(key._1, key._2, s.enterMs, s.lastMs, s.count))
+          } else {
+            var lo = Long.MaxValue; var hi = Long.MinValue; var n = 0L
+            rows.foreach { r =>
+              val t = r._3.getTime
+              if (t < lo) lo = t
+              if (t > hi) hi = t
+              n += 1
+            }
+            val prev = state.getOption
+            // a gap inside the batch itself can't occur (watermark bounds
+            // disorder below `gap` in practice); merge into the open visit
+            val next = prev match {
+              case Some(s) => VisitState(math.min(s.enterMs, lo),
+                math.max(s.lastMs, hi), s.count + n)
+              case None => VisitState(lo, hi, n)
+            }
+            state.update(next)
+            // close the visit when the WATERMARK passes last-ping + gap
+            state.setTimeoutTimestamp(next.lastMs + gapMillis)
+            Iterator.empty
+          }
+      }.toDF()
+  }
+
+  /** Stream-stream spatial co-location join: emit (a, b) pairs whose rows
+    * fell in the SAME level-`level` cell within `maxGapSeconds` of each
+    * other in event time. Both sides are watermarked (`lateness`), so the
+    * join state each side buffers is bounded by lateness + maxGap — the
+    * standard Spark stream-stream interval-join discipline applied to the
+    * cell key. Output columns carry a_ / b_ prefixes (id, ts, cell). */
+  def coLocationJoin(a: DataFrame, b: DataFrame, level: Int,
+                     idColA: String, idColB: String,
+                     tsColA: String, tsColB: String,
+                     lateness: String, maxGapSeconds: Int): DataFrame = {
+    val left = a
+      .select(col(idColA).cast("long").as("a_id"), col(tsColA).as("a_ts"),
+        S2.parent(col("cell_id"), level).as("a_cell"))
+      .withWatermark("a_ts", lateness)
+    val right = b
+      .select(col(idColB).cast("long").as("b_id"), col(tsColB).as("b_ts"),
+        S2.parent(col("cell_id"), level).as("b_cell"))
+      .withWatermark("b_ts", lateness)
+    left.join(right,
+      col("a_cell") === col("b_cell") &&
+        col("b_ts") >= col("a_ts") - expr(s"INTERVAL $maxGapSeconds SECONDS") &&
+        col("b_ts") <= col("a_ts") + expr(s"INTERVAL $maxGapSeconds SECONDS"))
+  }
+
   def runningCellCounts(stream: DataFrame, level: Int,
                         timeout: Option[String] = None): DataFrame = {
     val spark = stream.sparkSession

@@ -131,6 +131,148 @@ class StreamOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("append-mode density finalizes windows at the watermark and drops late rows") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val counts = StreamOps.streamingCellDensity(
+      StreamOps.withCellId(mem.toDF(), "lat", "lng"),
+      level = 4, tsCol = "ts", window = "10 minutes", lateness = "5 minutes")
+    val q = counts.writeStream.format("memory")
+      .queryName("density_append").outputMode(OutputMode.Append()).start()
+    try {
+      val c1020 = S2CellId.parent(S2CellId.fromLatLngDegrees(10, 20), 4)
+      // window [10:00,10:10): two rows
+      mem.addData(ev(1, 10, 20), ev(2, 10.1, 20.1))
+      q.processAllAvailable()
+      // nothing finalized yet — watermark hasn't passed 10:10
+      assert(spark.table("density_append").count() == 0)
+      // advance event time to 10:16 → watermark 10:11 > 10:10 closes window 1
+      mem.addData(ev(16, 10, 20))
+      q.processAllAvailable()
+      val fin = spark.table("density_append")
+        .selectExpr("cell", "weight").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      assert(fin.toSeq == Seq((c1020, 2L))) // finalized exactly once, count 2
+      // a LATE row for the closed window (event time 10:03 < watermark) is
+      // dropped: re-emit never happens and the count stays 2
+      mem.addData(ev(3, 10, 20))
+      q.processAllAvailable()
+      mem.addData(ev(31, 10, 20)) // push watermark past window 2 as well
+      q.processAllAvailable()
+      val all = spark.table("density_append")
+        .selectExpr("cell", "weight", "window.start").collect()
+      // window 1 still exactly one row with weight 2 (late row discarded);
+      // window 2 finalized with just the 10:16 ping
+      val w1 = all.filter(_.getTimestamp(2) ==
+        java.sql.Timestamp.valueOf("2026-01-01 10:00:00"))
+      assert(w1.length == 1 && w1.head.getLong(1) == 2)
+      val w2 = all.filter(_.getTimestamp(2) ==
+        java.sql.Timestamp.valueOf("2026-01-01 10:10:00"))
+      assert(w2.length == 1 && w2.head.getLong(1) == 1)
+      // the drop is observable in the state-operator metrics
+      val dropped = q.recentProgress
+        .flatMap(_.stateOperators).map(_.numRowsDroppedByWatermark).sum
+      assert(dropped >= 1)
+    } finally q.stop()
+  }
+
+  test("bounded-state dedup suppresses dups within the watermark window") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(Long, String, java.sql.Timestamp)]
+    def t(minute: Int) = java.sql.Timestamp.valueOf(f"2026-01-01 10:$minute%02d:00")
+    val out = StreamOps.streamingDedupBounded(
+      mem.toDF().toDF("doc_id", "text", "ts"), "doc_id", "text", "ts", "5 minutes")
+    val q = out.writeStream.format("memory").queryName("dedup_bounded")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData((1L, "alpha beta", t(1)), (2L, "ALPHA   beta", t(2)),
+        (3L, "gamma", t(1)))
+      q.processAllAvailable()
+      // duplicate INSIDE the window (watermark 9:57): suppressed
+      mem.addData((4L, "alpha beta", t(3)))
+      q.processAllAvailable()
+      assert(spark.table("dedup_bounded").count() == 2) // alpha-beta, gamma
+      // advance the watermark far past the hash's event time → its state
+      // is evicted; the same content REAPPEARS (bounded-state contract)
+      mem.addData((5L, "filler", t(30)))
+      q.processAllAvailable()
+      mem.addData((6L, "alpha beta", t(29)))
+      q.processAllAvailable()
+      val ids = spark.table("dedup_bounded").collect().map(_.getLong(0)).toSet
+      assert(ids.contains(1L) && ids.contains(3L) && ids.contains(5L))
+      assert(!ids.contains(2L) && !ids.contains(4L))
+      assert(ids.contains(6L)) // re-admitted after state eviction
+    } finally q.stop()
+  }
+
+  test("visitSessions closes a visit after the event-time gap and merges disorder") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    case class Ping(entity: Long, ts: java.sql.Timestamp, lat: Double, lng: Double)
+    def p(e: Long, minute: Int, lat: Double, lng: Double) =
+      (e, java.sql.Timestamp.valueOf(f"2026-01-01 10:$minute%02d:00"), lat, lng)
+    val mem = MemoryStream[(Long, java.sql.Timestamp, Double, Double)]
+    val visits = StreamOps.visitSessions(
+      StreamOps.withCellId(mem.toDF().toDF("entity", "ts", "lat", "lng"),
+        "lat", "lng"),
+      "entity", "ts", level = 10, lateness = "2 minutes", gapSeconds = 300)
+    val q = visits.writeStream.format("memory").queryName("visits")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // entity 7 pings the same cell at 10:01, 10:03 (out of order with
+      // 10:02 arriving later but inside the 2-minute lateness)
+      mem.addData(p(7, 1, 10, 20), p(7, 3, 10, 20))
+      q.processAllAvailable()
+      mem.addData(p(7, 2, 10, 20)) // late-but-allowed: extends the visit
+      q.processAllAvailable()
+      assert(spark.table("visits").count() == 0) // still open
+      // push the WATERMARK past last-ping + gap (10:03 + 5min = 10:08):
+      // watermark needs event time ≥ 10:10; ping far away keeps cell quiet
+      mem.addData(p(8, 11, -40, 150))
+      q.processAllAvailable()
+      mem.addData(p(8, 12, -40, 150)) // second advance so timeout fires
+      q.processAllAvailable()
+      val vs = spark.table("visits").as[StreamOps.Visit].collect()
+      val v7 = vs.filter(_.entity == 7)
+      assert(v7.length == 1)
+      assert(v7.head.n_pings == 3) // all three pings incl. the late one
+      assert(v7.head.enter_ts == java.sql.Timestamp.valueOf("2026-01-01 10:01:00").getTime)
+      assert(v7.head.exit_ts == java.sql.Timestamp.valueOf("2026-01-01 10:03:00").getTime)
+      assert(v7.head.cell ==
+        S2CellId.parent(S2CellId.fromLatLngDegrees(10, 20), 10))
+    } finally q.stop()
+  }
+
+  test("stream-stream co-location join pairs rows in the same cell within the gap") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    def t(minute: Int) = java.sql.Timestamp.valueOf(f"2026-01-01 10:$minute%02d:00")
+    val memA = MemoryStream[(Long, java.sql.Timestamp, Double, Double)]
+    val memB = MemoryStream[(Long, java.sql.Timestamp, Double, Double)]
+    def cells(m: MemoryStream[(Long, java.sql.Timestamp, Double, Double)]) =
+      StreamOps.withCellId(m.toDF().toDF("id", "ts", "lat", "lng"), "lat", "lng")
+    val joined = StreamOps.coLocationJoin(cells(memA), cells(memB), level = 10,
+      "id", "id", "ts", "ts", lateness = "2 minutes", maxGapSeconds = 120)
+    val q = joined.writeStream.format("memory").queryName("coloc")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // a1 and b1 share a cell 1 minute apart -> pair
+      // a2 and b2 share a cell 10 minutes apart -> no pair (outside gap)
+      // a3 is alone in its cell -> no pair
+      memA.addData((1L, t(1), 10, 20), (2L, t(1), -40, 150), (3L, t(1), 60, -100))
+      memB.addData((11L, t(2), 10.0005, 20.0005), (12L, t(11), -40, 150))
+      q.processAllAvailable()
+      memA.addData((4L, t(30), 0.0, 0.0)) // advance both watermarks
+      memB.addData((14L, t(30), 5.0, 5.0))
+      q.processAllAvailable()
+      val pairs = spark.table("coloc").selectExpr("a_id", "b_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(pairs == Set((1L, 11L)))
+    } finally q.stop()
+  }
+
   test("runningCellCounts keeps per-cell state across batches") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
