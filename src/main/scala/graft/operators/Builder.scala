@@ -26,42 +26,29 @@ object Builder {
   def assemblePolygon(edges: Seq[(V3, V3)], snapLevel: Int = 30): S2Polygon =
     assemblePolygon(edges, SnapFunction.fromLevel(snapLevel))
 
-  /** As above with a pluggable [[SnapFunction]] (cell-id, IntLatLng grid,
-    * or identity — the reference's snap-function layer). */
-  def assemblePolygon(edges: Seq[(V3, V3)], snapFn: SnapFunction): S2Polygon = {
-    // 1-2. snap + drop degenerate
-    val direct = edges.iterator
-      .map { case (u, v) => (snapFn(u), snapFn(v)) }
-      .filter { case (u, v) => u != v }
-      .toSeq
-    // 2b. vertex-on-edge splitting (S2Builder semantics: vertices within
-    // the snap radius of an edge split it). This is what lets boundaries
-    // with MISMATCHED subdivision cancel: a long edge facing two shorter
-    // sibling edges splits at their shared vertex and then cancels
-    // segment-by-segment. Tolerance 4x the snap radius bounds the
-    // deviation a snapped midpoint can have from its snapped-endpoint
-    // geodesic. Identity snap uses the leaf-level tolerance.
-    val tol = 4 * snapFn.snapRadius
+  /** Vertex-on-edge splitting (S2Builder semantics: sites within the snap
+    * radius of an edge split it). `sites` is the site set to split
+    * against — the edges' own endpoints for single-layer assembly, the
+    * UNION of all layers' snapped vertices for a layer stack. Candidate
+    * pruning for large soups: past the threshold, sites are sorted by
+    * leaf-cell order key and each edge probes only the sites inside a
+    * covering of its tol-expanded bounding cap (exact distance test
+    * unchanged, so the split set is identical to the naive scan). */
+  private[operators] def splitEdgesAtSites(direct: Seq[(V3, V3)],
+                                           sites: Array[V3],
+                                           tol: Double): Seq[(V3, V3)] = {
     val tolChord2 = S1ChordAngle.fromRadians(tol)
-    val vertices = direct.iterator.flatMap { case (u, v) => Iterator(u, v) }
-      .toArray.distinct
-    // candidate pruning for large soups: the naive scan tests every
-    // (edge, vertex) pair — quadratic for continent-sized boundaries.
-    // Past the threshold, vertices are sorted by leaf-cell order key and
-    // each edge probes only the vertices inside a covering of its
-    // tol-expanded bounding cap (exact distance test unchanged, so the
-    // split set is identical).
-    val usePrune = direct.size.toLong * vertices.length > (1L << 22)
+    val usePrune = direct.size.toLong * sites.length > (1L << 22)
     val (vOrds, vByOrd) =
       if (!usePrune) (null: Array[Long], null: Array[V3])
       else {
-        val sorted = vertices.map(w =>
+        val sorted = sites.map(w =>
           (S2CellId.orderKey(S2CellId.fromPoint(w.x, w.y, w.z)), w)).sortBy(_._1)
         (sorted.map(_._1), sorted.map(_._2))
       }
     val cov = if (usePrune) new S2RegionCoverer(8, 0, 30) else null
     def candidatesNear(u: V3, v: V3): Iterator[V3] =
-      if (!usePrune) vertices.iterator
+      if (!usePrune) sites.iterator
       else {
         val c0 = u + v
         val center = if (c0.norm2 < 1e-30) u else c0.normalize
@@ -76,7 +63,7 @@ object Builder {
             .map(vByOrd)
         }
       }
-    val snapped = direct.flatMap { case (u, v) =>
+    direct.flatMap { case (u, v) =>
       val splits = candidatesNear(u, v)
         .filter(w => w != u && w != v)
         .filter { w =>
@@ -95,7 +82,34 @@ object Builder {
           .filter { case (a, b) => a != b }
       }
     }
-    // 3. sibling-pair cancellation with multiplicity
+  }
+
+  /** As above with a pluggable [[SnapFunction]] (cell-id, IntLatLng grid,
+    * or identity — the reference's snap-function layer). */
+  def assemblePolygon(edges: Seq[(V3, V3)], snapFn: SnapFunction): S2Polygon = {
+    // 1-2. snap + drop degenerate
+    val direct = edges.iterator
+      .map { case (u, v) => (snapFn(u), snapFn(v)) }
+      .filter { case (u, v) => u != v }
+      .toSeq
+    // 2b. vertex-on-edge splitting. This is what lets boundaries with
+    // MISMATCHED subdivision cancel: a long edge facing two shorter
+    // sibling edges splits at their shared vertex and then cancels
+    // segment-by-segment. Tolerance 4x the snap radius bounds the
+    // deviation a snapped midpoint can have from its snapped-endpoint
+    // geodesic. Identity snap uses the leaf-level tolerance.
+    val tol = 4 * snapFn.snapRadius
+    val vertices = direct.iterator.flatMap { case (u, v) => Iterator(u, v) }
+      .toArray.distinct
+    val snapped = splitEdgesAtSites(direct, vertices, tol)
+    // 3-4. cancel sibling pairs, stitch, normalize
+    new S2Polygon(LoopStitcher.stitchNormalized(cancelSiblings(snapped),
+      "polygon assembly (not a closed boundary at this snap level?)"))
+  }
+
+  /** Sibling-pair cancellation with multiplicity: k copies of u→v and m
+    * copies of v→u leave |k-m| copies in the majority direction. */
+  private[operators] def cancelSiblings(snapped: Seq[(V3, V3)]): Seq[(V3, V3)] = {
     val countByEdge = mutable.HashMap.empty[(V3, V3), Int]
     snapped.foreach { e => countByEdge(e) = countByEdge.getOrElse(e, 0) + 1 }
     val survivors = mutable.ArrayBuffer.empty[(V3, V3)]
@@ -107,12 +121,7 @@ object Builder {
       if (k > m) for (_ <- 0 until k - m) survivors += e
       else if (m > k) for (_ <- 0 until m - k) survivors += sib
     }
-    // 4. stitch the balanced multigraph into SIMPLE loops (shared
-    // decomposition: min-clockwise-turn face traversal at pinch vertices
-    // + on-path sub-cycle extraction, see graft.core.LoopStitcher) and
-    // normalize to small interiors
-    new S2Polygon(LoopStitcher.stitchNormalized(survivors.toSeq,
-      "polygon assembly (not a closed boundary at this snap level?)"))
+    survivors.toSeq
   }
 
   /** N-way union of polygons with PAIRWISE-DISJOINT INTERIORS whose
@@ -154,12 +163,22 @@ object Builder {
   def assemblePolylines(edges: Seq[(V3, V3)],
                         snapFn: SnapFunction = SnapFunction.Identity,
                         simplifyTolerance: Double = 0.0): Seq[Array[V3]] = {
-    val vOrd: Ordering[V3] =
-      (a: V3, b: V3) => if (a == b) 0 else if (a.lexLess(b)) -1 else 1
     val direct = edges.iterator
       .map { case (u, v) => (snapFn(u), snapFn(v)) }
       .filter { case (u, v) => u != v }
       .toSeq
+    val chains = walkDecompose(direct)
+    if (simplifyTolerance <= 0) chains
+    else chains.map { c =>
+      Polylines.subsampleIdx(c, simplifyTolerance).map(c)
+    }
+  }
+
+  /** Decompose a directed edge multigraph into maximal edge-disjoint
+    * walks (deterministic lexicographic head/next order). */
+  private[operators] def walkDecompose(direct: Seq[(V3, V3)]): Seq[Array[V3]] = {
+    val vOrd: Ordering[V3] =
+      (a: V3, b: V3) => if (a == b) 0 else if (a.lexLess(b)) -1 else 1
     val outs = mutable.HashMap.empty[V3, mutable.ArrayBuffer[V3]]
     val inDeg = mutable.HashMap.empty[V3, Int]
     direct.foreach { case (u, v) =>
@@ -196,11 +215,7 @@ object Builder {
       val start = outs.keysIterator.toSeq.sorted(vOrd).head
       res += walk(start)
     }
-    val chains = res.filter(_.length >= 2).toSeq
-    if (simplifyTolerance <= 0) chains
-    else chains.map { c =>
-      Polylines.subsampleIdx(c, simplifyTolerance).map(c)
-    }
+    res.filter(_.length >= 2).toSeq
   }
 
   /** Per-group distributed assembly: rows carry one directed edge each
@@ -237,6 +252,104 @@ object Builder {
                      snapFn: SnapFunction = SnapFunction.Identity): Seq[V3] =
     points.map(snapFn(_)).distinct
       .sortWith((a, b) => a.lexLess(b))
+
+  /** One layer of a [[buildLayers]] stack — the analogue of the edges
+    * added between two S2Builder::StartLayer calls
+    * (/root/reference/src/s2/s2builder.h:59-69,199-233). */
+  sealed trait Layer extends Serializable
+  object Layer {
+    /** Assembled like [[assemblePolygon]] (parity model, interior-left). */
+    final case class Polygon(edges: Seq[(V3, V3)]) extends Layer
+    /** Assembled like [[assemblePolylines]]. `simplifyTolerance` > 0
+      * simplifies each walk BETWEEN cross-layer sites: a vertex another
+      * layer snapped or split at is never dropped, preserving the stack's
+      * shared-vertex guarantee (the reference's simplify_edge_chains
+      * makes the same promise, s2builder.h:300-324). */
+    final case class Polylines(edges: Seq[(V3, V3)],
+                               simplifyTolerance: Double = 0.0) extends Layer
+    /** Isolated points, merged like [[assemblePoints]]. */
+    final case class Points(points: Seq[V3]) extends Layer
+  }
+
+  sealed trait LayerResult extends Serializable
+  object LayerResult {
+    final case class PolygonResult(polygon: S2Polygon) extends LayerResult
+    final case class PolylinesResult(chains: Seq[Array[V3]]) extends LayerResult
+    final case class PointsResult(points: Seq[V3]) extends LayerResult
+  }
+
+  /** General layer-stack build — the full S2Builder contract rather than
+    * the single-layer helpers above: ALL layers share ONE snap pass and
+    * ONE site set, so geometry is consistent ACROSS layers after the
+    * build. Concretely: every input vertex of every layer snaps with the
+    * same `snapFn`, the union of the snapped vertices forms the global
+    * site set, and every edge of every layer splits at each site within
+    * the snap tolerance — so a polyline (roads) acquires a vertex exactly
+    * where a polygon layer (parcels) has a boundary vertex nearby, and
+    * two polygon layers with shared boundaries end up vertex-aligned.
+    * Results are returned in layer order. */
+  def buildLayers(layers: Seq[Layer],
+                  snapFn: SnapFunction = SnapFunction.Identity): Seq[LayerResult] = {
+    val tol = 4 * snapFn.snapRadius
+    // one snap pass over every layer's geometry
+    val snappedLayers: Seq[Layer] = layers.map {
+      case Layer.Polygon(es) => Layer.Polygon(
+        es.map { case (u, v) => (snapFn(u), snapFn(v)) }.filter(e => e._1 != e._2))
+      case Layer.Polylines(es, s) => Layer.Polylines(
+        es.map { case (u, v) => (snapFn(u), snapFn(v)) }.filter(e => e._1 != e._2), s)
+      case Layer.Points(ps) => Layer.Points(ps.map(snapFn(_)))
+    }
+    // global site set: every snapped vertex from every layer, plus a
+    // per-vertex count of how many layers contributed it (for the
+    // simplify force-keep rule below)
+    def layerVerts(l: Layer): Iterator[V3] = l match {
+      case Layer.Polygon(es) => es.iterator.flatMap(e => Iterator(e._1, e._2))
+      case Layer.Polylines(es, _) => es.iterator.flatMap(e => Iterator(e._1, e._2))
+      case Layer.Points(ps) => ps.iterator
+    }
+    val layerVertSets: Seq[Set[V3]] = snappedLayers.map(layerVerts(_).toSet)
+    val sites: Array[V3] = layerVertSets.flatten.distinct.toArray
+    val layerCount = mutable.HashMap.empty[V3, Int]
+    layerVertSets.foreach(_.foreach(v =>
+      layerCount(v) = layerCount.getOrElse(v, 0) + 1))
+    snappedLayers.zipWithIndex.map {
+      case (Layer.Polygon(es), _) =>
+        LayerResult.PolygonResult(new S2Polygon(LoopStitcher.stitchNormalized(
+          cancelSiblings(splitEdgesAtSites(es, sites, tol)),
+          "polygon layer (not a closed boundary at this snap level?)")))
+      case (Layer.Polylines(es, simp), i) =>
+        val own = layerVertSets(i)
+        val chains = walkDecompose(splitEdgesAtSites(es, sites, tol))
+        val out =
+          if (simp <= 0) chains
+          else chains.map { c =>
+            // force-keep every site contributed by ANOTHER layer —
+            // whether split-injected or coincident with an own vertex —
+            // so the stack's shared-vertex guarantee survives simplify
+            simplifyKeeping(c, simp,
+              v => layerCount.getOrElse(v, 0) > (if (own.contains(v)) 1 else 0))
+          }
+        LayerResult.PolylinesResult(out)
+      case (Layer.Points(ps), _) =>
+        LayerResult.PointsResult(ps.distinct.sortWith((a, b) => a.lexLess(b)))
+    }
+  }
+
+  /** Simplify a chain while force-keeping marked vertices: the chain is
+    * cut at every kept vertex, each piece simplified independently, and
+    * the pieces re-joined (kept vertices survive by construction). */
+  private def simplifyKeeping(chain: Array[V3], tol: Double,
+                              keep: V3 => Boolean): Array[V3] = {
+    val cuts = (0 +: chain.indices.drop(1).dropRight(1).filter(i => keep(chain(i)))
+      :+ (chain.length - 1)).distinct
+    val out = mutable.ArrayBuffer.empty[V3]
+    for (k <- cuts.indices.dropRight(1)) {
+      val piece = chain.slice(cuts(k), cuts(k + 1) + 1)
+      val kept = Polylines.subsampleIdx(piece, tol).map(piece)
+      out ++= (if (k == 0) kept else kept.drop(1))
+    }
+    out.toArray
+  }
 
   /** Per-group distributed POLYLINE assembly (dirty-polyline ingestion):
     * rows carry one directed segment each; each group's soup is

@@ -224,6 +224,88 @@ class BuilderSpec extends AnyFunSuite {
     assert(out == Builder.assemblePoints(pts.reverse, SnapFunction.IntLatLngSnap(5)))
   }
 
+  test("layer stack: disjoint layers match single-layer assembly") {
+    import Builder.{Layer, LayerResult}
+    val sq = ring("0:0, 0:10, 10:10, 10:0")
+    val chain = ring("40:40, 40:45, 45:45")
+    val chainEdges = chain.indices.dropRight(1).map(i => (chain(i), chain(i + 1)))
+    val pts = ring("60:60, 61:61").toSeq
+    val out = Builder.buildLayers(Seq(
+      Layer.Polygon(edgesOf(sq)), Layer.Polylines(chainEdges), Layer.Points(pts)))
+    val LayerResult.PolygonResult(p) = out(0)
+    val LayerResult.PolylinesResult(cs) = out(1)
+    val LayerResult.PointsResult(ps) = out(2)
+    // compare against the IDENTITY-snap single-layer build (the stack's
+    // default); level-30 default snap would differ by the leaf displacement
+    assert(p.area ==
+      Builder.assemblePolygon(edgesOf(sq), graft.operators.SnapFunction.Identity).area)
+    assert(cs.map(_.toSeq) == Builder.assemblePolylines(chainEdges).map(_.toSeq))
+    assert(ps == Builder.assemblePoints(pts))
+  }
+
+  test("layer stack: polyline splits at a polygon layer's boundary vertex") {
+    import Builder.{Layer, LayerResult}
+    val sq = ring("0:0, 0:10, 10:10, 10:0")
+    // a polyline whose single edge passes exactly through the square's
+    // (10,10) corner — in a shared-site build it must acquire that vertex
+    val corner = V3.fromLatLngDegrees(10, 10)
+    val a = V3.fromLatLngDegrees(10, 5)
+    // extend the great circle a->corner past the corner
+    val b = S2EdgeDistances.interpolate(a, corner, 1.6)
+    val out = Builder.buildLayers(Seq(
+      Layer.Polygon(edgesOf(sq)), Layer.Polylines(Seq((a, b)))))
+    val LayerResult.PolylinesResult(cs) = out(1)
+    assert(cs.length == 1)
+    assert(cs.head.length == 3) // a, corner, b
+    assert(cs.head(1) == corner)
+    // single-layer assembly does NOT split (no shared site set)
+    assert(Builder.assemblePolylines(Seq((a, b))).head.length == 2)
+  }
+
+  test("layer stack: two polygon layers vertex-align along a shared boundary") {
+    import Builder.{Layer, LayerResult}
+    // left tile's right edge digitized as ONE segment; right tile's left
+    // edge digitized as TWO segments with a midpoint vertex. In a stack
+    // build both layers split at the midpoint site → identical vertex
+    // sets along the shared boundary.
+    val left = ring("0:0, 0:10, 10:10, 10:0")   // right edge 0:10 -> 10:10
+    val mid = V3.fromLatLngDegrees(5, 10)
+    val right = Seq(
+      (V3.fromLatLngDegrees(0, 10), mid), (mid, V3.fromLatLngDegrees(10, 10)),
+      (V3.fromLatLngDegrees(10, 10), V3.fromLatLngDegrees(10, 20)),
+      (V3.fromLatLngDegrees(10, 20), V3.fromLatLngDegrees(0, 20)),
+      (V3.fromLatLngDegrees(0, 20), V3.fromLatLngDegrees(0, 10)))
+    val out = Builder.buildLayers(Seq(
+      Layer.Polygon(edgesOf(left)), Layer.Polygon(right)))
+    val LayerResult.PolygonResult(pl) = out(0)
+    val LayerResult.PolygonResult(pr) = out(1)
+    // lng=10 is a meridian (a great circle), so mid lies EXACTLY on the
+    // left tile's one-segment right edge: the stack splits it there
+    assert(pl.loops.head.vertices.contains(mid))
+    assert(pr.loops.head.vertices.contains(mid))
+    // single-layer assembly of the left tile has no reason to carry mid
+    assert(!Builder.assemblePolygon(edgesOf(left)).loops.head.vertices.contains(mid))
+  }
+
+  test("layer stack: simplify keeps sites injected by other layers") {
+    import Builder.{Layer, LayerResult}
+    // chain along the equator with redundant collinear vertices
+    val vs = Array(0, 2, 4, 5, 6, 8, 10).map(lng => V3.fromLatLngDegrees(0, lng))
+    val edges = vs.indices.dropRight(1).map(i => (vs(i), vs(i + 1)))
+    // a Points layer contributes the interior vertex at lng=6
+    val site = V3.fromLatLngDegrees(0, 6)
+    val out = Builder.buildLayers(Seq(
+      Layer.Polylines(edges, simplifyTolerance = 1e-3), Layer.Points(Seq(site))))
+    val LayerResult.PolylinesResult(cs) = out(0)
+    assert(cs.length == 1)
+    // collinear interior vertices dropped EXCEPT the cross-layer site
+    assert(cs.head.toSeq == Seq(vs.head, site, vs.last))
+    // without the Points layer the whole interior simplifies away
+    val solo = Builder.buildLayers(Seq(Layer.Polylines(edges, 1e-3)))
+    val LayerResult.PolylinesResult(cs2) = solo(0)
+    assert(cs2.head.toSeq == Seq(vs.head, vs.last))
+  }
+
   test("distributed per-group polyline assembly") {
     import spark.implicits._
     import graft.operators.{Builder, SnapFunction}
