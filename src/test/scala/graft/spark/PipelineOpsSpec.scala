@@ -274,4 +274,100 @@ class PipelineOpsSpec extends AnyFunSuite {
     val frames = Multimodal.sampleFrames(media, 4)
     assert(frames.count() == media.count() * 4)
   }
+
+  test("multimodal: batch decode is batch-size invariant; resize/aHash math") {
+    val d = graft.sources.DocSource.docs(spark, 300L)
+    val media = Multimodal.mediaTable(d).cache()
+    // batched execution must not change results (batch 1 == batch 64)
+    val f1 = Multimodal.extractFeatures(media, 8, 8, batchSize = 1)
+      .select("media_ref", "mean_px").collect()
+      .map(r => (r.getString(0), r.getFloat(1))).toMap
+    val f64 = Multimodal.extractFeatures(media, 8, 8, batchSize = 64)
+      .select("media_ref", "mean_px").collect()
+      .map(r => (r.getString(0), r.getFloat(1))).toMap
+    assert(f1 == f64)
+    // bilinear resize: constant image stays constant at any scale
+    val const = Array.fill(16 * 16)(0.25f)
+    assert(Multimodal.resizeBilinear(const, 16, 16, 8, 8).forall(_ == 0.25f))
+    assert(Multimodal.resizeBilinear(const, 16, 16, 3, 5).forall(
+      v => math.abs(v - 0.25f) < 1e-6))
+    // known 2x2 -> 3x3: center is the 4-corner average
+    val px = Array(0f, 1f, 1f, 0f)
+    val up = Multimodal.resizeBilinear(px, 2, 2, 3, 3)
+    assert(up(4) == 0.5f)
+    assert(up(0) == 0f && up(2) == 1f && up(6) == 1f && up(8) == 0f)
+    // identity resize
+    val r8 = Multimodal.resizeBilinear(Multimodal.MediaCodec.decodeImage(
+      Array[Byte](1, 2, 3), 8, 8), 8, 8, 8, 8)
+    assert(r8.toSeq == Multimodal.MediaCodec.decodeImage(Array[Byte](1, 2, 3), 8, 8).toSeq)
+    // aHash: deterministic, and exactly the >mean bit pattern on 8x8 input
+    val img = Multimodal.MediaCodec.decodeImage(Array[Byte](9, 9), 8, 8)
+    val h = Multimodal.aHash64(img, 8, 8)
+    val mean = img.sum / 64
+    (0 until 64).foreach { i =>
+      assert((((h >>> (63 - i)) & 1L) == 1L) == (img(i) > mean))
+    }
+  }
+
+  test("multimodal: perceptual-hash near-dup pairs find planted re-encodes") {
+    val d = graft.sources.DocSource.docs(spark, 300L)
+    val media = Multimodal.mediaTable(d).limit(40).cache()
+    // plant exact-pixel duplicates under new refs (same bytes)
+    val dups = media.limit(5)
+      .withColumn("media_ref", concat(col("media_ref"), lit("_dup")))
+    val all = media.unionByName(dups).cache()
+    val pairs = Multimodal.mediaNearDupPairs(all, maxHamming = 3).collect()
+    val planted = all.where(col("media_ref").endsWith("_dup"))
+      .select(col("media_ref")).collect().map(_.getString(0)).toSet
+    // every planted dup appears in a 0-hamming pair with its source
+    planted.foreach { dref =>
+      val src = dref.stripSuffix("_dup")
+      assert(pairs.exists(r =>
+        Set(r.getString(0), r.getString(1)) == Set(src, dref) && r.getInt(2) == 0),
+        s"missing pair for $dref")
+    }
+    // differential vs brute force at this size
+    val sigs = Multimodal.perceptualHashes(all).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val brute = (for {
+      (ra, sa) <- sigs; (rb, sb) <- sigs if ra < rb
+      if java.lang.Long.bitCount(sa ^ sb) <= 3
+    } yield (ra, rb)).toSet
+    assert(pairs.map(r => (r.getString(0), r.getString(1))).toSet == brute)
+  }
+
+  test("multimodal: audio energy windows and silence flags") {
+    val d = graft.sources.DocSource.docs(spark, 300L)
+    val media = Multimodal.mediaTable(d).limit(10).cache()
+    val wins = Multimodal.audioEnergyWindows(media).cache()
+    val rows = wins.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getFloat(3) >= 0.0f && r.getFloat(3) <= 1.0f) // rms of [-1,1] samples
+      assert(r.getLong(2) == r.getInt(1) * 10L) // t_ms = win_idx * hop
+    }
+    // the stub codec makes every 7th 400-sample run quiet -> silence
+    // windows must exist, and loud windows must dominate
+    val silentFrac = rows.count(_.getBoolean(4)).toDouble / rows.length
+    assert(silentFrac > 0.02 && silentFrac < 0.5, s"silent fraction $silentFrac")
+    // window count bound per doc
+    val perDoc = wins.groupBy("media_ref").count().collect()
+    perDoc.foreach(r => assert(r.getLong(1) <= 256))
+  }
+
+  test("multimodal: frame features differ across frames; scene changes emitted") {
+    val d = graft.sources.DocSource.docs(spark, 300L)
+    val media = Multimodal.mediaTable(d).limit(8).cache()
+    val ff = Multimodal.frameFeatures(media, framesPerDoc = 4).cache()
+    assert(ff.count() == media.count() * 4)
+    // frames of the same media have DISTINCT features (offset-seeded stub)
+    val perMedia = ff.collect().groupBy(_.getString(0))
+    perMedia.values.foreach { frames =>
+      val sigs = frames.map(_.getSeq[Float](2).toSeq).toSet
+      assert(sigs.size == frames.length)
+    }
+    val cuts = Multimodal.sceneChanges(ff, threshold = 0.05).collect()
+    assert(cuts.length == media.count() * 3) // framesPerDoc-1 per media
+    cuts.foreach(r => assert(r.getDouble(2) > 0))
+  }
 }
