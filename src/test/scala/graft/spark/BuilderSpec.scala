@@ -215,6 +215,69 @@ class BuilderSpec extends AnyFunSuite {
     }
   }
 
+  test("randomized: two-layer stack builds are pointwise exact and vertex-aligned") {
+    import Builder.{Layer, LayerResult}
+    // split a random grid-cell set into TWO polygon layers plus a chain
+    // layer crossing the grid; the stack must (a) reproduce each layer's
+    // own region pointwise, (b) carry the other layer's boundary sites on
+    // shared boundaries, (c) keep every output loop simple
+    val rnd = new scala.util.Random(83)
+    def sq(r: Int, c: Int) = S2TextFormat.parsePolygon(
+      s"$r:$c, $r:${c + 1}, ${r + 1}:${c + 1}, ${r + 1}:$c")
+    def interiorEdges(polys: Seq[S2Polygon]): Seq[(V3, V3)] =
+      for {
+        p <- polys; (l, li) <- p.loops.zipWithIndex
+        i <- 0 until l.numVertices
+      } yield {
+        if (p.loopSigns(li) > 0) (l.vertex(i), l.vertex(i + 1))
+        else (l.vertex(i + 1), l.vertex(i))
+      }
+    for (trial <- 0 until 10) {
+      val cells = (0 until 36).filter(_ => rnd.nextDouble() < 0.45)
+        .map(i => (i / 6, i % 6)).toSet
+      val (aCells, bCells) = cells.partition(_ => rnd.nextBoolean())
+      if (aCells.nonEmpty && bCells.nonEmpty) {
+        val chain = Array(V3.fromLatLngDegrees(-1, -1), V3.fromLatLngDegrees(3, 3),
+          V3.fromLatLngDegrees(7, 7))
+        val out = Builder.buildLayers(Seq(
+          Layer.Polygon(interiorEdges(aCells.toSeq.map { case (r, c) => sq(r, c) })),
+          Layer.Polygon(interiorEdges(bCells.toSeq.map { case (r, c) => sq(r, c) })),
+          Layer.Polylines(chain.indices.dropRight(1).map(i => (chain(i), chain(i + 1))))))
+        val LayerResult.PolygonResult(pa) = out(0)
+        val LayerResult.PolygonResult(pb) = out(1)
+        // pointwise: each layer's polygon is ITS cell set, not the union
+        for (r <- -1 to 6; c <- -1 to 6) {
+          val p = V3.fromLatLngDegrees(
+            r + 0.2 + rnd.nextDouble() * 0.6, c + 0.2 + rnd.nextDouble() * 0.6)
+          assert(pa.contains(p) == aCells.contains((r, c)), s"trial $trial A ($r,$c)")
+          assert(pb.contains(p) == bCells.contains((r, c)), s"trial $trial B ($r,$c)")
+        }
+        // simple loops in both layers
+        (pa.loops ++ pb.loops).foreach { l =>
+          assert(l.vertices.distinct.length == l.numVertices,
+            s"trial $trial non-simple loop")
+        }
+        // the stack invariant: NO output edge of any layer passes through
+        // a site (any layer's vertex) without having a vertex there —
+        // that's exactly what the shared-site splitting guarantees
+        val sites = ((aCells ++ bCells).toSeq
+          .flatMap { case (r, c) => sq(r, c).loops.toSeq.flatMap(_.vertices.toSeq) }
+          ++ chain.toSeq).distinct
+        val tol = 4 * graft.operators.SnapFunction.Identity.snapRadius
+        val tolChord2 = S1ChordAngle.fromRadians(tol)
+        val outEdges = (pa.loops ++ pb.loops).flatMap { l =>
+          (0 until l.numVertices).map(i => (l.vertex(i), l.vertex(i + 1)))
+        }
+        for ((u, v) <- outEdges; w <- sites if w != u && w != v) {
+          val d2 = S2EdgeDistances.interiorDistance2(
+            w, u, v, (w - u).norm2, (w - v).norm2)
+          assert(d2 < 0 || d2 > tolChord2,
+            s"trial $trial: output edge passes through site without splitting")
+        }
+      }
+    }
+  }
+
   test("point layer: snap + merge duplicates, deterministic order") {
     import graft.operators.{Builder, SnapFunction}
     def v(lat: Double, lng: Double) = V3.fromLatLngDegrees(lat, lng)
