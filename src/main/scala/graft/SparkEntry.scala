@@ -94,6 +94,9 @@ object SparkEntry {
     8 -> V3(-0.49809734904587255, 0.862729915662821, -0.08715574274765817))
   private val withinDistR2: Double = // chord^2 of 0.15 rad (JVM-computed)
     { val s = math.sin(0.5 * 0.15); 4.0 * s * s }
+  // fixed 3-vertex target chain for the Hausdorff query (lat, lng degrees)
+  private val hausdorffChain: Seq[(Double, Double)] =
+    Seq((10.0, 20.0), (25.0, 40.0), (40.0, 60.0))
   private val knnEdges = Seq( // geodesic test edges for the closest-edge query
     (1, V3.fromLatLngDegrees(0, 0), V3.fromLatLngDegrees(0, 30)),
     (2, V3.fromLatLngDegrees(-30, -120), V3.fromLatLngDegrees(10, -100)),
@@ -390,6 +393,25 @@ object SparkEntry {
       S2Joins.broadcastContainsJoin(docsGeo(s, dir), Seq(1 -> (buffered: S2Region)))
         .groupBy(col("qid"))
         .agg(count(lit(1)).as("cnt"), sum("doc_id").as("sum_id"))
+    }),
+
+    "q_s2_hausdorff" -> ((s, dir) => {
+      // S2HausdorffDistanceQuery.GetDirectedDistance: directed Hausdorff
+      // (squared chord) from each trajectory's point set to a fixed
+      // 2-edge geodesic chain. The reference semantics are vertex-to-edge
+      // (s2hausdorff_distance_query.cc:111-122): max over the source
+      // points of the min edge distance — both sides of the oracle mirror
+      // reduce with exact max/least over the shared edgeDist2 expression.
+      val grouped = docsGeo(s, dir)
+        .withColumn("traj", pmod(col("doc_id"), lit(16)))
+        .groupBy("traj")
+        .agg(collect_list(col("lat")).as("a_lat"),
+          collect_list(col("lng")).as("a_lng"))
+      grouped.select(col("traj"),
+        round(graft.operators.RegionJoins.directedHausdorffUdf(
+          col("a_lat"), col("a_lng"),
+          typedLit(hausdorffChain.map(_._1)),
+          typedLit(hausdorffChain.map(_._2))), 12).as("h2_r"))
     }),
 
     "q_s2_furthest_edge" -> ((s, dir) => {
@@ -1240,6 +1262,15 @@ object SparkEntry {
         s"""SELECT 1 AS qid, count(*) AS cnt, CAST(sum(doc_id) AS BIGINT) AS sum_id
             FROM $docsXyzSql p
             WHERE (${pipWhere(P1)}) OR least(${edges.mkString(", ")}) <= $r2"""
+      },
+
+      "q_s2_hausdorff" -> {
+        val ch = hausdorffChain.map { case (la, ln) => V3.fromLatLngDegrees(la, ln) }
+        val edges = ch.sliding(2).map(w => edgeDist2Sql(w(0), w(1))).toSeq
+        s"""SELECT traj, round(max(mind2), 12) AS h2_r FROM (
+              SELECT doc_id % 16 AS traj,
+                     least(${edges.mkString(", ")}) AS mind2
+              FROM $docsXyzSql p) GROUP BY traj"""
       },
 
       "q_s2_furthest_edge" -> s"""
