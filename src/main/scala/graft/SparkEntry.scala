@@ -97,6 +97,16 @@ object SparkEntry {
   // fixed 3-vertex target chain for the Hausdorff query (lat, lng degrees)
   private val hausdorffChain: Seq[(Double, Double)] =
     Seq((10.0, 20.0), (25.0, 40.0), (40.0, 60.0))
+  // winding-query ring set: two CCW convex quads + one CW (reversed) quad
+  // overlapping both — winding numbers -1..2 over the doc grid (vertices
+  // off the 0.01-degree doc grid by 0.003)
+  private def llQuad(lat0: Double, lng0: Double, lat1: Double, lng1: Double) =
+    Array(V3.fromLatLngDegrees(lat0, lng0), V3.fromLatLngDegrees(lat0, lng1),
+      V3.fromLatLngDegrees(lat1, lng1), V3.fromLatLngDegrees(lat1, lng0))
+  private val windingRings: Seq[Array[V3]] = Seq(
+    llQuad(5.003, 5.003, 35.003, 45.003),
+    llQuad(20.003, 25.003, 50.003, 60.003),
+    llQuad(10.003, 30.003, 28.003, 50.003).reverse)
   private val knnEdges = Seq( // geodesic test edges for the closest-edge query
     (1, V3.fromLatLngDegrees(0, 0), V3.fromLatLngDegrees(0, 30)),
     (2, V3.fromLatLngDegrees(-30, -120), V3.fromLatLngDegrees(10, -100)),
@@ -392,6 +402,22 @@ object SparkEntry {
       val buffered = S2Buffer.bufferPolygon(new S2Polygon(Array(S2Loop(P1))), r, 1e-7)
       S2Joins.broadcastContainsJoin(docsGeo(s, dir), Seq(1 -> (buffered: S2Region)))
         .groupBy(col("qid"))
+        .agg(count(lit(1)).as("cnt"), sum("doc_id").as("sum_id"))
+    }),
+
+    "q_s2_winding" -> ((s, dir) => {
+      // S2WindingOperation's point-winding semantics: winding number of
+      // every doc point over a fixed ring set (two CCW quads + one CW),
+      // aggregated per winding value. The evaluator prebuilds the loops
+      // once per executor; the oracle mirrors each ring's convex
+      // plane-sign containment with the same +1/-1 contributions.
+      val rings = windingRings
+      val eval = graft.core.S2Winding.evaluator(rings)
+      val wUdf = udf { (lat: Double, lng: Double) =>
+        eval.winding(V3.fromLatLngDegrees(lat, lng)) }
+      docsGeo(s, dir)
+        .withColumn("w", wUdf(col("lat"), col("lng")))
+        .groupBy("w")
         .agg(count(lit(1)).as("cnt"), sum("doc_id").as("sum_id"))
     }),
 
@@ -1263,6 +1289,14 @@ object SparkEntry {
             FROM $docsXyzSql p
             WHERE (${pipWhere(P1)}) OR least(${edges.mkString(", ")}) <= $r2"""
       },
+
+      "q_s2_winding" -> s"""
+        SELECT w, count(*) AS cnt, CAST(sum(doc_id) AS BIGINT) AS sum_id FROM (
+          SELECT doc_id,
+            (CASE WHEN ${pipWhere(windingRings(0))} THEN 1 ELSE 0 END) +
+            (CASE WHEN ${pipWhere(windingRings(1))} THEN 1 ELSE 0 END) +
+            (CASE WHEN ${pipWhere(windingRings(2).reverse)} THEN -1 ELSE 0 END) AS w
+          FROM $docsXyzSql p) GROUP BY w""",
 
       "q_s2_hausdorff" -> {
         val ch = hausdorffChain.map { case (la, ln) => V3.fromLatLngDegrees(la, ln) }

@@ -37,6 +37,27 @@ object S2Winding {
   def contains(rings: Seq[Array[V3]], rule: WindingRule, p: V3): Boolean =
     rule.matches(windingNumber(rings, p))
 
+  /** Row-at-a-time winding evaluator with PREBUILT loops — the form to
+    * close over in a UDF or mapPartitions: [[windingNumber]] rebuilds
+    * each ring's S2Loop (originInside + bound) per call, which is wasted
+    * work when probing millions of points against a fixed ring set. */
+  final class Evaluator(rings: Seq[Array[V3]]) extends Serializable {
+    private val loops: Array[S2Loop] = rings.map(S2Loop(_)).toArray
+    private val smallInterior: Array[Boolean] = loops.map(_.area <= 2 * math.Pi)
+    def winding(p: V3): Int = {
+      var w = 0
+      var i = 0
+      while (i < loops.length) {
+        val in = loops(i).contains(p)
+        if (smallInterior(i)) { if (in) w += 1 }
+        else { if (!in) w -= 1 }
+        i += 1
+      }
+      w
+    }
+  }
+  def evaluator(rings: Seq[Array[V3]]): Evaluator = new Evaluator(rings)
+
   /** Materialize the rule region as a parity-model polygon — ARBITRARY
     * ring sets, crossing boundaries included (the reference routes this
     * through its S2Builder graph machinery,

@@ -27,6 +27,16 @@ class S2WindingSpec extends AnyFunSuite {
     assert(windingNumber(Seq(sqA, sqB.reverse), pt(1, 1)) == 1)
   }
 
+  test("Evaluator (prebuilt loops) == windingNumber everywhere") {
+    val rnd = new scala.util.Random(7)
+    val rings = Seq(sqA, sqB.reverse, sqC, sqA) // stack + reversal + dup
+    val eval = evaluator(rings)
+    for (_ <- 0 until 300) {
+      val p = pt(rnd.nextDouble() * 170 - 85, rnd.nextDouble() * 360 - 180)
+      assert(eval.winding(p) == windingNumber(rings, p))
+    }
+  }
+
   test("rules: POSITIVE = union, ODD = symmetric difference (identities)") {
     val rings = Seq(sqA, sqB, sqC)
     for ((p, inA, inB, inC) <- Seq(
