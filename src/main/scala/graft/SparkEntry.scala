@@ -107,6 +107,18 @@ object SparkEntry {
     llQuad(5.003, 5.003, 35.003, 45.003),
     llQuad(20.003, 25.003, 50.003, 60.003),
     llQuad(10.003, 30.003, 28.003, 50.003).reverse)
+  // cell-union set-algebra result for q_s2_cellunion_ops: the coverer and
+  // union/difference kernels run once here; the oracle mirrors per-cell
+  // padded containment of the RESULT cells (so the set algebra itself is
+  // what the gate pins — a wrong union/difference changes the cell list
+  // and every count)
+  private lazy val cellUnionOpsCells: Array[Long] = {
+    val cov = new S2RegionCoverer(12, 0, 30)
+    val a = cov.getCovering(S2Cap.fromCenterAngle(V3.fromLatLngDegrees(20, 30), 0.2))
+    val b = cov.getCovering(S2LatLngRect.fromDegrees(-10, 40, 10, 80))
+    val inner = cov.getCovering(S2Cap.fromCenterAngle(V3.fromLatLngDegrees(20, 30), 0.08))
+    S2CellUnion.difference(S2CellUnion.union(a, b), inner)
+  }
   private val knnEdges = Seq( // geodesic test edges for the closest-edge query
     (1, V3.fromLatLngDegrees(0, 0), V3.fromLatLngDegrees(0, 30)),
     (2, V3.fromLatLngDegrees(-30, -120), V3.fromLatLngDegrees(10, -100)),
@@ -402,6 +414,21 @@ object SparkEntry {
       val buffered = S2Buffer.bufferPolygon(new S2Polygon(Array(S2Loop(P1))), r, 1e-7)
       S2Joins.broadcastContainsJoin(docsGeo(s, dir), Seq(1 -> (buffered: S2Region)))
         .groupBy(col("qid"))
+        .agg(count(lit(1)).as("cnt"), sum("doc_id").as("sum_id"))
+    }),
+
+    "q_s2_cellunion_ops" -> ((s, dir) => {
+      // §2.9 cell-union set algebra: cells = (cover(cap) ∪ cover(rect)) ∖
+      // cover(inner cap), normalized; docs classified by padded cell
+      // containment over the result (S2Cell.containsPoint — the oracle
+      // mirrors the identical uv-bounds test per result cell).
+      val cells = cellUnionOpsCells.map(S2Cell(_))
+      val inUdf = udf { (lat: Double, lng: Double) =>
+        val p = V3.fromLatLngDegrees(lat, lng)
+        cells.exists(_.containsPoint(p))
+      }
+      docsGeo(s, dir)
+        .where(inUdf(col("lat"), col("lng")))
         .agg(count(lit(1)).as("cnt"), sum("doc_id").as("sum_id"))
     }),
 
@@ -1288,6 +1315,12 @@ object SparkEntry {
         s"""SELECT 1 AS qid, count(*) AS cnt, CAST(sum(doc_id) AS BIGINT) AS sum_id
             FROM $docsXyzSql p
             WHERE (${pipWhere(P1)}) OR least(${edges.mkString(", ")}) <= $r2"""
+      },
+
+      "q_s2_cellunion_ops" -> {
+        val tests = cellUnionOpsCells.map(id => cellContainsSql(S2Cell(id)))
+        s"""SELECT count(*) AS cnt, CAST(sum(doc_id) AS BIGINT) AS sum_id
+            FROM $docsXyzSql p WHERE ${tests.mkString(" OR ")}"""
       },
 
       "q_s2_winding" -> s"""
