@@ -119,6 +119,16 @@ object SparkEntry {
     val inner = cov.getCovering(S2Cap.fromCenterAngle(V3.fromLatLngDegrees(20, 30), 0.08))
     S2CellUnion.difference(S2CellUnion.union(a, b), inner)
   }
+  // convex-hull query input cap (radius 0.4 rad; well under a hemisphere so
+  // the hull is unique) and DTW reference polylines; the chord^2 radius is
+  // JVM-computed and embedded in the oracle like every cap literal
+  private val hullCapCenter = V3.fromLatLngDegrees(15, 25)
+  private val hullCapR2: Double = { val s = math.sin(0.5 * 0.7); 4.0 * s * s }
+  private val dtwRefs: Seq[(Int, Seq[(Double, Double)])] = Seq(
+    1 -> Seq((10.0, 20.0), (14.0, 26.0), (18.0, 22.0), (24.0, 30.0),
+      (30.0, 28.0), (34.0, 36.0)),
+    2 -> Seq((-20.0, -60.0), (-14.0, -52.0), (-10.0, -58.0), (-2.0, -50.0),
+      (6.0, -44.0)))
   private val knnEdges = Seq( // geodesic test edges for the closest-edge query
     (1, V3.fromLatLngDegrees(0, 0), V3.fromLatLngDegrees(0, 30)),
     (2, V3.fromLatLngDegrees(-30, -120), V3.fromLatLngDegrees(10, -100)),
@@ -465,6 +475,53 @@ object SparkEntry {
           col("a_lat"), col("a_lng"),
           typedLit(hausdorffChain.map(_._1)),
           typedLit(hausdorffChain.map(_._2))), 12).as("h2_r"))
+    }),
+
+    "q_s2_convex_hull" -> ((s, dir) => {
+      // S2ConvexHullQuery: strict hull-vertex set of the docs inside a
+      // 0.7-rad cap (47/47/445 points at sf0.001/0.01/0.1), as doc rows.
+      // The oracle characterizes hull edges pairwise — (a,b) is a CCW
+      // hull edge iff every other cap point is strictly left of
+      // plane(O,a,b) — and takes distinct edge endpoints; sound because
+      // the doc grid has no duplicate lat or lng below doc_id 17000/36000
+      // (so no exactly-collinear triples) and the chain pops non-strict
+      // turns (hull vertices are exactly the strict extreme points).
+      val c = hullCapCenter
+      val pts = docsGeo(s, dir)
+        .withColumn("x", cos(radians(col("lng"))) * cos(radians(col("lat"))))
+        .withColumn("y", sin(radians(col("lng"))) * cos(radians(col("lat"))))
+        .withColumn("z", sin(radians(col("lat"))))
+        .where((col("x") - c.x) * (col("x") - c.x)
+          + (col("y") - c.y) * (col("y") - c.y)
+          + (col("z") - c.z) * (col("z") - c.z) <= lit(hullCapR2))
+      pts.agg(Aggregators.convexHullIdsColumn(
+          col("doc_id").cast("long"), col("lat"), col("lng")).as("hull"))
+        .select(explode(col("hull._2")).as("v"))
+        .select(col("v._1").as("doc_id"), col("v._2").as("lat"),
+          col("v._3").as("lng"))
+    }),
+
+    "q_s2_dtw" -> ((s, dir) => {
+      // S2PolylineAlignment exact DTW vertex-alignment cost (chord-norm
+      // cells, full table) between 8 six-point doc trajectories
+      // (doc_id < 48 — SF-independent) and 2 fixed reference chains; the
+      // oracle unrolls the identical DP with lateral column aliases.
+      // round(9) absorbs the docsXyzSql sub-ULP caveat accumulated over
+      // the ~11-cell alignment path.
+      import s.implicits._
+      val refDf = dtwRefs.map { case (rid, pts) =>
+        (rid, pts.map(_._1), pts.map(_._2)) }.toDF("ref_id", "b_lat", "b_lng")
+      val trajs = docsGeo(s, dir).where(col("doc_id") < 48)
+        .withColumn("traj", pmod(col("doc_id"), lit(8)))
+        .groupBy("traj")
+        .agg(sort_array(collect_list(
+          struct(col("doc_id"), col("lat"), col("lng")))).as("pts"))
+        .select(col("traj"),
+          col("pts.lat").as("a_lat"), col("pts.lng").as("a_lng"))
+      trajs.crossJoin(broadcast(refDf))
+        .select(col("traj"), col("ref_id"),
+          round(Polylines.dtwCost(col("a_lat"), col("a_lng"),
+            col("b_lat"), col("b_lng")), 9).as("dtw_r"))
     }),
 
     "q_s2_furthest_edge" -> ((s, dir) => {
@@ -1338,6 +1395,58 @@ object SparkEntry {
               SELECT doc_id % 16 AS traj,
                      least(${edges.mkString(", ")}) AS mind2
               FROM $docsXyzSql p) GROUP BY traj"""
+      },
+
+      "q_s2_convex_hull" -> {
+        val c = hullCapCenter
+        s"""WITH pts AS (
+              SELECT CAST(doc_id AS BIGINT) AS doc_id, lat, lng, x, y, z
+              FROM $docsXyzSql p
+              WHERE (x-(${c.x}))*(x-(${c.x})) + (y-(${c.y}))*(y-(${c.y}))
+                  + (z-(${c.z}))*(z-(${c.z})) <= $hullCapR2)
+            SELECT DISTINCT a.doc_id AS doc_id, a.lat AS lat, a.lng AS lng
+            FROM pts a, pts b
+            WHERE a.doc_id <> b.doc_id AND NOT EXISTS (
+              SELECT 1 FROM pts cc
+              WHERE cc.doc_id <> a.doc_id AND cc.doc_id <> b.doc_id
+                AND (a.y*b.z - a.z*b.y)*cc.x + (a.z*b.x - a.x*b.z)*cc.y
+                  + (a.x*b.y - a.y*b.x)*cc.z <= 0)"""
+      },
+
+      "q_s2_dtw" -> {
+        // per-ref unrolled 6xM DP over the trajectory lists; cell (i,j)
+        // cost = chord norm to the embedded JVM-computed ref vertex
+        def dpSelect(rid: Int, ref: Seq[(Double, Double)]): String = {
+          val b = ref.map { case (la, ln) => V3.fromLatLngDegrees(la, ln) }
+          val n = 6
+          val m = b.length
+          def d(i: Int, j: Int): String = {
+            val r = b(j)
+            s"""sqrt((xs[${i + 1}]-(${r.x}))*(xs[${i + 1}]-(${r.x}))
+                 + (ys[${i + 1}]-(${r.y}))*(ys[${i + 1}]-(${r.y}))
+                 + (zs[${i + 1}]-(${r.z}))*(zs[${i + 1}]-(${r.z})))"""
+          }
+          val cells = for (i <- 0 until n; j <- 0 until m) yield {
+            val pred =
+              if (i == 0 && j == 0) "0.0"
+              else if (i == 0) s"c0_${j - 1}"
+              else if (j == 0) s"c${i - 1}_0"
+              else s"least(c${i - 1}_${j - 1}, c${i - 1}_$j, c${i}_${j - 1})"
+            s"$pred + ${d(i, j)} AS c${i}_$j"
+          }
+          s"""SELECT traj, ref_id, dtw_r FROM (
+                SELECT traj, CAST($rid AS INTEGER) AS ref_id,
+                       ${cells.mkString(", ")},
+                       round(c${n - 1}_${m - 1}, 9) AS dtw_r FROM t)"""
+        }
+        s"""WITH t AS (
+              SELECT doc_id % 8 AS traj,
+                     list(x ORDER BY doc_id) AS xs,
+                     list(y ORDER BY doc_id) AS ys,
+                     list(z ORDER BY doc_id) AS zs
+              FROM $docsXyzSql p WHERE doc_id < 48 GROUP BY doc_id % 8)
+            ${dtwRefs.map { case (rid, ref) => dpSelect(rid, ref) }
+              .mkString(" UNION ALL ")}"""
       },
 
       "q_s2_furthest_edge" -> s"""

@@ -96,6 +96,42 @@ object Aggregators {
     org.apache.spark.sql.functions.udaf(agg).apply(latDeg, lngDeg)
   }
 
+  /** Convex hull per group with input identity preserved: input rows are
+    * (id, lat, lng); the result is the sub-sequence of inputs that are
+    * strict hull vertices (the monotone chain keeps original points, so
+    * hull vertices map back to inputs by exact V3 equality — synthetic
+    * vertices from the 1/2-point degenerate loops are dropped). Buffer =
+    * (isFull, candidate rows); merging re-hulls the union, so the buffer
+    * stays bounded by hull complexity, not group size. */
+  def convexHullIdsColumn(id: Column, latDeg: Column, lngDeg: Column): Column = {
+    type Row = (Long, Double, Double)
+    type Buf = (Boolean, Seq[Row])
+    def hullOf(rows: Seq[Row]): Buf = {
+      val byPoint = rows.map { r => V3.fromLatLngDegrees(r._2, r._3) -> r }.toMap
+      val loop = S2ConvexHull.hull(byPoint.keys.toSeq)
+      if (loop.isFull) (true, Seq.empty)
+      else (false, loop.vertices.toSeq.flatMap(byPoint.get).sortBy(_._1))
+    }
+    val agg = new Aggregator[(Long, Double, Double), (Boolean, Seq[(Long, Double, Double)]), (Boolean, Seq[(Long, Double, Double)])] {
+      def zero: Buf = (false, Seq.empty)
+      def reduce(b: Buf, r: (Long, Double, Double)): Buf =
+        if (b._1) b
+        else {
+          val appended = b._2 :+ r
+          if (appended.size > 64) hullOf(appended) else (false, appended)
+        }
+      def merge(a: Buf, b: Buf): Buf =
+        if (a._1 || b._1) (true, Seq.empty) else hullOf(a._2 ++ b._2)
+      def finish(b: Buf): Buf =
+        if (b._1 || b._2.isEmpty) b else hullOf(b._2)
+      def bufferEncoder: Encoder[Buf] =
+        ExpressionEncoder[(Boolean, Seq[(Long, Double, Double)])]()
+      def outputEncoder: Encoder[Buf] =
+        ExpressionEncoder[(Boolean, Seq[(Long, Double, Double)])]()
+    }
+    org.apache.spark.sql.functions.udaf(agg).apply(id, latDeg, lngDeg)
+  }
+
   /** True centroid (unnormalized vector sum — reference TrueCentroid
     * convention: scale-free, add across groups; s2centroids.cc). */
   def centroidColumn(latDeg: Column, lngDeg: Column): Column = {

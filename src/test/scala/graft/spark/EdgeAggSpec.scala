@@ -165,6 +165,25 @@ class EdgeAggSpec extends AnyFunSuite {
     }
   }
 
+  test("convex hull ids aggregator: strict corner ids, partition-invariant, 2-point degenerate") {
+    import spark.implicits._
+    // 4 square corners (ids 1-4) + interior and edge-midpoint-ish points:
+    // strict hull = exactly the corners
+    val rows = Seq(
+      (1L, 0.0, 0.0), (2L, 0.0, 20.0), (3L, 20.0, 20.0), (4L, 20.0, 0.0),
+      (5L, 10.0, 10.0), (6L, 5.0, 7.0), (7L, 12.0, 3.0))
+    def hullIds(df: org.apache.spark.sql.DataFrame): Seq[Long] =
+      df.agg(Aggregators.convexHullIdsColumn(col("id"), col("lat"), col("lng")))
+        .head().getStruct(0).getSeq[org.apache.spark.sql.Row](1).map(_.getLong(0))
+    val df = rows.toDF("id", "lat", "lng")
+    assert(hullIds(df) == Seq(1L, 2L, 3L, 4L))
+    // merge path: same result regardless of partitioning
+    assert(hullIds(df.repartition(5)) == Seq(1L, 2L, 3L, 4L))
+    // 2-point group: both ids survive (the synthetic midpoint vertex of
+    // the degenerate edge loop is dropped by id-matching)
+    assert(hullIds(rows.take(2).toDF("id", "lat", "lng")) == Seq(1L, 2L))
+  }
+
   test("convex hull aggregator: hull encloses members; hemisphere-wide group is full") {
     // windowed docs: hulls are proper loops
     val windowed = docs.where(col("lat").between(0, 40) && col("lng").between(0, 60))
