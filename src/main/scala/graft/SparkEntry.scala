@@ -129,6 +129,12 @@ object SparkEntry {
       (30.0, 28.0), (34.0, 36.0)),
     2 -> Seq((-20.0, -60.0), (-14.0, -52.0), (-10.0, -58.0), (-2.0, -50.0),
       (6.0, -44.0)))
+  // fixed apex edge for the triangle-area fan (q_s2_triangle_area):
+  // .xx37-offset lat/lng keep every doc point (0.01-degree grid) at least
+  // ~0.003 deg from the apex vertices AND from their antipodes, so the
+  // stable cross-product path never falls through to the exact kernel
+  private val triApexA: (Double, Double) = (5.1037, -33.2177)
+  private val triApexB: (Double, Double) = (47.1237, 61.3777)
   private val knnEdges = Seq( // geodesic test edges for the closest-edge query
     (1, V3.fromLatLngDegrees(0, 0), V3.fromLatLngDegrees(0, 30)),
     (2, V3.fromLatLngDegrees(-30, -120), V3.fromLatLngDegrees(10, -100)),
@@ -522,6 +528,41 @@ object SparkEntry {
         .select(col("traj"), col("ref_id"),
           round(Polylines.dtwCost(col("a_lat"), col("a_lng"),
             col("b_lat"), col("b_lng")), 9).as("dtw_r"))
+    }),
+
+    "q_s2_triangle_area" -> ((s, dir) => {
+      // S2Measures.Area (Girard/L'Huilier hybrid, s2measures.cc:49-90):
+      // triangle fan from a fixed apex edge over doc points. The oracle
+      // mirrors the FULL branch ladder (stable-angle semiperimeter,
+      // Girard-accuracy tests, max(0,..) clamps) with lateral column
+      // aliases; round(9) absorbs trig sub-ULP through the tan/atan
+      // amplification.
+      docsGeo(s, dir).where(col("doc_id") < 300)
+        .select(col("doc_id"),
+          round(GeometryOps.triangleArea(
+            lit(triApexA._1), lit(triApexA._2),
+            lit(triApexB._1), lit(triApexB._2),
+            col("lat"), col("lng")), 9).as("area_r"))
+    }),
+
+    "q_s2_agg_stats" -> ((s, dir) => {
+      // §2.14 UDAFs: per-group bounding rect (S2LatLngRectBounder
+      // semantics) + true centroid (unnormalized vector sum). Groups are
+      // restricted to |lng| <= 89 so the lng interval never wraps and the
+      // oracle is plain min/max; round(9) absorbs the deg->rad->deg
+      // roundtrip and the partition-order nondeterminism of the double
+      // centroid sums.
+      docsGeo(s, dir).where(col("lng").between(-89.0, 89.0))
+        .withColumn("g", pmod(col("doc_id"), lit(8)))
+        .groupBy("g")
+        .agg(Aggregators.rectBoundColumn(col("lat"), col("lng")).as("b"),
+          Aggregators.centroidColumn(col("lat"), col("lng")).as("c"),
+          count(lit(1)).as("cnt"))
+        .select(col("g"),
+          round(col("b._1"), 9).as("lat_lo"), round(col("b._2"), 9).as("lng_lo"),
+          round(col("b._3"), 9).as("lat_hi"), round(col("b._4"), 9).as("lng_hi"),
+          round(col("c._1"), 9).as("cx"), round(col("c._2"), 9).as("cy"),
+          round(col("c._3"), 9).as("cz"), col("cnt"))
     }),
 
     "q_s2_furthest_edge" -> ((s, dir) => {
@@ -1448,6 +1489,71 @@ object SparkEntry {
             ${dtwRefs.map { case (rid, ref) => dpSelect(rid, ref) }
               .mkString(" UNION ALL ")}"""
       },
+
+      "q_s2_triangle_area" -> {
+        // full S2Measures.Area mirror with apex edge (a,b) embedded:
+        // sa/sb via stable angles to the doc point, sc and rcp(a,b)
+        // JVM-computed constants; Girard path via lateral-alias cross
+        // products of the stable (u-v)x(u+v) form
+        val a = V3.fromLatLngDegrees(triApexA._1, triApexA._2)
+        val b = V3.fromLatLngDegrees(triApexB._1, triApexB._2)
+        val sc = S2Measures.stableAngle(a, b)
+        val ab = S2EdgeCrossings.robustCrossProd(a, b)
+        def stableAngleSql(p: V3): String =
+          s"""2*atan2(
+               sqrt(((${p.x})-x)*((${p.x})-x) + ((${p.y})-y)*((${p.y})-y) + ((${p.z})-z)*((${p.z})-z)),
+               sqrt(((${p.x})+x)*((${p.x})+x) + ((${p.y})+y)*((${p.y})+y) + ((${p.z})+z)*((${p.z})+z)))"""
+        // rcp(p, c) = (p-c) x (p+c) component aliases, prefix pre
+        def rcpAliases(p: V3, pre: String): String =
+          s"""((${p.y})-y)*((${p.z})+z) - ((${p.z})-z)*((${p.y})+y) AS ${pre}x,
+              ((${p.z})-z)*((${p.x})+x) - ((${p.x})-x)*((${p.z})+z) AS ${pre}y,
+              ((${p.x})-x)*((${p.y})+y) - ((${p.y})-y)*((${p.x})+x) AS ${pre}z"""
+        // angle(u,v) = atan2(|u x v|, u.v) with u a constant vector and
+        // v an aliased (px,py,pz) triple
+        def angConstAliased(u: V3, p: String): String =
+          s"""atan2(sqrt(
+               ((${u.y})*${p}z - (${u.z})*${p}y)*((${u.y})*${p}z - (${u.z})*${p}y)
+             + ((${u.z})*${p}x - (${u.x})*${p}z)*((${u.z})*${p}x - (${u.x})*${p}z)
+             + ((${u.x})*${p}y - (${u.y})*${p}x)*((${u.x})*${p}y - (${u.y})*${p}x)),
+             (${u.x})*${p}x + (${u.y})*${p}y + (${u.z})*${p}z)"""
+        val angBcAc =
+          s"""atan2(sqrt(
+               (bcy*acz - bcz*acy)*(bcy*acz - bcz*acy)
+             + (bcz*acx - bcx*acz)*(bcz*acx - bcx*acz)
+             + (bcx*acy - bcy*acx)*(bcx*acy - bcy*acx)),
+             bcx*acx + bcy*acy + bcz*acz)"""
+        s"""SELECT doc_id, round(
+              CASE WHEN s >= 3e-4 AND dmin < 1e-2*s*s2*s2
+                        AND dmin < s*(0.1*(girard + 5e-15))
+                   THEN girard
+                   ELSE 4*atan(sqrt(greatest(0.0,
+                     tan(0.5*s)*tan(0.5*(s-sa))*tan(0.5*(s-sb))*tan(0.5*(s-($sc))))))
+              END, 9) AS area_r
+            FROM (
+              SELECT doc_id, sa, sb,
+                     0.5*(sa + sb + ($sc)) AS s,
+                     (0.5*(sa + sb + ($sc)))*(0.5*(sa + sb + ($sc))) AS s2,
+                     0.5*(sa + sb + ($sc)) - greatest(sa, greatest(sb, $sc)) AS dmin,
+                     greatest(0.0, ${angConstAliased(ab, "ac")}
+                                 - ${angConstAliased(ab, "bc")}
+                                 + $angBcAc) AS girard
+              FROM (
+                SELECT doc_id,
+                       ${stableAngleSql(b)} AS sa,
+                       ${stableAngleSql(a)} AS sb,
+                       ${rcpAliases(b, "bc")},
+                       ${rcpAliases(a, "ac")}
+                FROM $docsXyzSql p WHERE doc_id < 300))"""
+      },
+
+      "q_s2_agg_stats" -> s"""
+        SELECT doc_id % 8 AS g,
+               round(min(lat), 9) AS lat_lo, round(min(lng), 9) AS lng_lo,
+               round(max(lat), 9) AS lat_hi, round(max(lng), 9) AS lng_hi,
+               round(sum(x), 9) AS cx, round(sum(y), 9) AS cy,
+               round(sum(z), 9) AS cz, count(*) AS cnt
+        FROM $docsXyzSql p WHERE lng BETWEEN -89.0 AND 89.0
+        GROUP BY doc_id % 8""",
 
       "q_s2_furthest_edge" -> s"""
         SELECT sid, count(*) AS cnt, CAST(sum(doc_id) AS BIGINT) AS sum_id FROM (

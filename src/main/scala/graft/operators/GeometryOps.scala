@@ -40,6 +40,18 @@ object GeometryOps {
   val polygonAreaUdf = udf { (text: String) => PolyCache.get(text).area }
   def polygonArea(text: Column): Column = polygonAreaUdf(text)
 
+  /** Spherical triangle area (Girard/L'Huilier hybrid,
+    * reference s2measures.cc:49-90) from three (lat,lng)-degree vertices. */
+  val triangleAreaUdf = udf {
+    (aLat: Double, aLng: Double, bLat: Double, bLng: Double,
+     cLat: Double, cLng: Double) =>
+      S2Measures.area(V3.fromLatLngDegrees(aLat, aLng),
+        V3.fromLatLngDegrees(bLat, bLng), V3.fromLatLngDegrees(cLat, cLng))
+  }
+  def triangleArea(aLat: Column, aLng: Column, bLat: Column, bLng: Column,
+                   cLat: Column, cLng: Column): Column =
+    triangleAreaUdf(aLat, aLng, bLat, bLng, cLat, cLng)
+
   /** Undirected Hausdorff distance (squared chord) between polygon
     * texts, interiors included. */
   def polygonHausdorff(a: Column, b: Column): Column =
@@ -111,6 +123,7 @@ object GeometryOps {
     spark.udf.register("s2_polygon_symdiff", polygonSymmetricDifferenceUdf)
     spark.udf.register("s2_polygon_buffer", polygonBufferUdf)
     spark.udf.register("s2_polygon_area", polygonAreaUdf)
+    spark.udf.register("s2_triangle_area", triangleAreaUdf)
     spark.udf.register("s2_polygon_hausdorff", RegionJoins.polygonHausdorffUdf)
     spark.udf.register("s2_winding_contains", windingContainsUdf)
     spark.udf.register("s2_winding_polygon", windingPolygonUdf)
