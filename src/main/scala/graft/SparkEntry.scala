@@ -689,6 +689,20 @@ object SparkEntry {
       Dedup.simHashPairs(aug, "doc_id", "text", maxHamming = 3)
     }),
 
+    "q_dedup_clusters" -> ((s, dir) => { // oracle: recursive-CTE components
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      // two planted variants per 5th doc -> 3-member clusters, so the
+      // min-label propagation actually has to flow through shared buckets
+      val aug = docs.select("doc_id", "text")
+        .unionByName(docs.where(col("doc_id") % 5 === 0)
+          .select((col("doc_id") + 2000000).as("doc_id"),
+            concat(col("text"), lit(" zz qq")).as("text")))
+        .unionByName(docs.where(col("doc_id") % 5 === 0)
+          .select((col("doc_id") + 4000000).as("doc_id"),
+            concat(col("text"), lit(" qq ww")).as("text")))
+      Dedup.nearDupClusters(aug, "doc_id", "text")
+    }),
+
     "q_text_stats" -> ((s, dir) => {
       val docs = s.read.parquet(s"$dir/documents.parquet")
       docs.groupBy("lang")
@@ -1294,6 +1308,53 @@ object SparkEntry {
                         ON a.ck = b.ck AND a.doc_id < b.doc_id)
             SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS INTEGER) AS hamming
             FROM pairs WHERE bit_count(xor(sa, sb)) <= 3"""
+      },
+
+      "q_dedup_clusters" -> {
+        // Connected components over the LSH bucket graph. The engine links
+        // each bucket member to the bucket minimum (O(m) star edges) and
+        // propagates min labels to a fixpoint; the oracle computes the same
+        // components from the all-pairs bucket graph with a recursive CTE —
+        // star graph and pair graph have identical components (every bucket
+        // is connected in both), so min-reachable-id agrees exactly.
+        val M = graft.operators.Dedup.HashM
+        val B = graft.operators.Dedup.HashB
+        val shingleHorner =
+          s"""list_reduce(list_transform(range(1, length(s) + 1),
+              ci -> CAST(unicode(substr(s, CAST(ci AS INTEGER), 1)) AS BIGINT)),
+              (a, c) -> (a * $B + c) % $M)"""
+        val minsExprs = (0 until 64).map { k =>
+          val a = graft.operators.Dedup.FamilyA(k)
+          val b = graft.operators.Dedup.FamilyB(k)
+          s"list_min(list_transform(hs, h -> ($a * h + $b) % $M))"
+        }
+        val bandExprs = (0 until 16).map { b =>
+          val key = (0 until 4).foldLeft("CAST(0 AS BIGINT)") { (acc, r) =>
+            s"((($acc) * $B + mins[${b * 4 + r + 1}]) % $M)"
+          }
+          s"(CAST($b AS BIGINT) * 4294967296 + $key)"
+        }
+        s"""WITH RECURSIVE aug AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 2000000 AS doc_id, text || ' zz qq' AS text
+              FROM documents WHERE doc_id % 5 = 0
+              UNION ALL
+              SELECT doc_id + 4000000 AS doc_id, text || ' qq ww' AS text
+              FROM documents WHERE doc_id % 5 = 0),
+            sgl AS (SELECT doc_id, ${shingleSql("text")} AS sgl FROM aug),
+            hs AS (SELECT doc_id, list_transform(sgl, s -> $shingleHorner) AS hs
+                   FROM sgl WHERE len(sgl) > 0),
+            m AS (SELECT doc_id, [${minsExprs.mkString(", ")}] AS mins FROM hs),
+            bands AS (SELECT doc_id, unnest([${bandExprs.mkString(", ")}]) AS bk FROM m),
+            edges AS (SELECT DISTINCT a.doc_id AS id, b.doc_id AS nbr
+                      FROM bands a JOIN bands b
+                        ON a.bk = b.bk AND a.doc_id <> b.doc_id),
+            reach(id, r) AS (
+              SELECT id, id FROM (SELECT DISTINCT id FROM edges)
+              UNION
+              SELECT e.id, reach.r FROM edges e JOIN reach ON reach.id = e.nbr)
+            SELECT id, min(r) AS rep FROM reach GROUP BY id HAVING id <> min(r)"""
       },
 
       "q_text_stats" -> """
