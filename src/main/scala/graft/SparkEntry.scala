@@ -608,6 +608,33 @@ object SparkEntry {
           S2.level(col("cell_id")).as("leaf_level"))
     }),
 
+    "q_s2_face_uv" -> ((s, dir) => {
+      // S2Coords cube-face decomposition (XYZtoFaceUV, quadratic uvToST,
+      // stToIJ — s2coords.h:322-356) with a fully analytic SQL mirror.
+      // Docs whose top two |xyz| components are within 1e-6 (face-boundary
+      // band) are excluded symmetrically in both engines so libm sub-ULP
+      // xyz noise can't flip the face CASE; u/v compare at round(9); i/j
+      // compare at level 10 (a flip needs s within 2^-43 of a level-10
+      // boundary — generic-position safe).
+      val pts = docsGeo(s, dir)
+        .withColumn("x", cos(radians(col("lng"))) * cos(radians(col("lat"))))
+        .withColumn("y", sin(radians(col("lng"))) * cos(radians(col("lat"))))
+        .withColumn("z", sin(radians(col("lat"))))
+        .withColumn("ax", abs(col("x"))).withColumn("ay", abs(col("y")))
+        .withColumn("az", abs(col("z")))
+        .withColumn("top", greatest(col("ax"), col("ay"), col("az")))
+        .withColumn("snd", col("ax") + col("ay") + col("az") - col("top")
+          - least(col("ax"), col("ay"), col("az")))
+        .where(col("top") - col("snd") > 1e-6)
+      pts.select(col("doc_id"),
+          S2.faceUV(col("x"), col("y"), col("z")).as("fuv"))
+        .select(col("doc_id"), col("fuv._1").as("face"),
+          (round(col("fuv._2"), 9) + 0.0).as("u_r"), // +0.0: -0.0 -> 0.0 in
+          (round(col("fuv._3"), 9) + 0.0).as("v_r"), // both engines
+          shiftright(col("fuv._4"), 20).cast("long").as("i10"),
+          shiftright(col("fuv._5"), 20).cast("long").as("j10"))
+    }),
+
     "q_s2_cell_rollup" -> ((s, dir) => {
       // doc_id < 500 (present at every SF) → golden-token oracle
       Density.cellDensity(docsGeo(s, dir).where(col("doc_id") < 500), 4)
@@ -1110,6 +1137,42 @@ object SparkEntry {
         JOIN (VALUES $cellGold64) v(doc_id, leaf_token, l10_token)
           ON d.doc_id = v.doc_id
         WHERE d.doc_id < 64""",
+
+      "q_s2_face_uv" -> s"""
+        WITH a AS (SELECT doc_id, x, y, z,
+                          abs(x) AS ax, abs(y) AS ay, abs(z) AS az
+                   FROM $docsXyzSql p),
+        b AS (SELECT *, greatest(ax, ay, az) AS top,
+                     ax + ay + az - greatest(ax, ay, az)
+                       - least(ax, ay, az) AS snd
+              FROM a),
+        c AS (SELECT * FROM b WHERE top - snd > 1e-6),
+        f AS (SELECT doc_id, x, y, z,
+                CASE WHEN ax > ay THEN
+                       (CASE WHEN ax > az THEN (CASE WHEN x < 0 THEN 3 ELSE 0 END)
+                             ELSE (CASE WHEN z < 0 THEN 5 ELSE 2 END) END)
+                     ELSE (CASE WHEN ay > az THEN (CASE WHEN y < 0 THEN 4 ELSE 1 END)
+                           ELSE (CASE WHEN z < 0 THEN 5 ELSE 2 END) END) END AS face
+              FROM c),
+        uv AS (SELECT doc_id, face,
+                 CASE face WHEN 0 THEN y/x WHEN 1 THEN -x/y WHEN 2 THEN -x/z
+                           WHEN 3 THEN z/x WHEN 4 THEN z/y ELSE -y/z END AS u,
+                 CASE face WHEN 0 THEN z/x WHEN 1 THEN z/y WHEN 2 THEN -y/z
+                           WHEN 3 THEN y/x WHEN 4 THEN -x/y ELSE -x/z END AS v
+               FROM f),
+        st AS (SELECT doc_id, face, u, v,
+                 CASE WHEN u >= 0 THEN 0.5*sqrt(1 + 3*u) ELSE 1 - 0.5*sqrt(1 - 3*u) END AS s,
+                 CASE WHEN v >= 0 THEN 0.5*sqrt(1 + 3*v) ELSE 1 - 0.5*sqrt(1 - 3*v) END AS t
+               FROM uv),
+        ij AS (SELECT doc_id, face, u, v,
+                 CASE WHEN NOT (s > 0) THEN CAST(0 AS BIGINT)
+                      ELSE least(CAST(floor(1073741824*s) AS BIGINT), 1073741823) END AS i,
+                 CASE WHEN NOT (t > 0) THEN CAST(0 AS BIGINT)
+                      ELSE least(CAST(floor(1073741824*t) AS BIGINT), 1073741823) END AS j
+               FROM st)
+        SELECT doc_id, face, round(u, 9) + 0.0 AS u_r, round(v, 9) + 0.0 AS v_r,
+               CAST(i >> 20 AS BIGINT) AS i10, CAST(j >> 20 AS BIGINT) AS j10
+        FROM ij""",
 
       "q_s2_cell_rollup" -> s"""
         SELECT v.l4_token AS cell_token, count(*) AS weight

@@ -149,6 +149,20 @@ object S2 {
     S2CellUnion.expandByRadius(ids, radiusRad, 2)
   }
 
+  /** Cube-face decomposition of a unit vector (reference s2coords.h
+    * XYZtoFaceUV / STtoIJ, s2coords.h:322-356): returns
+    * struct(face, u, v, i, j) — face 0-5, cube coords in [-1,1], and the
+    * leaf-grid (i,j) of the quadratic-projection (s,t). */
+  val faceUVUdf = udf { (x: Double, y: Double, z: Double) =>
+    val f = S2Coords.face(x, y, z)
+    val u = S2Coords.validFaceXYZtoU(f, x, y, z)
+    val v = S2Coords.validFaceXYZtoV(f, x, y, z)
+    val i = S2Coords.stToIJ(S2Coords.uvToST(u))
+    val j = S2Coords.stToIJ(S2Coords.uvToST(v))
+    (f, u, v, i, j)
+  }
+  def faceUV(x: Column, y: Column, z: Column): Column = faceUVUdf(x, y, z)
+
   def cellArea(id: Column): Column = {
     val exactAreaUdf = udf { (cellId: Long) => S2Cell(cellId).exactArea }
     exactAreaUdf(id)
