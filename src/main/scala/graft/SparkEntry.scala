@@ -608,6 +608,24 @@ object SparkEntry {
           S2.level(col("cell_id")).as("leaf_level"))
     }),
 
+    "q_s2_metrics_level" -> ((s, dir) => {
+      // S2Metric level selection (getExponent bit trick, s2metrics.h:
+      // 95-141) over a per-doc angle spanning 3.7e-9..1000 rad. The
+      // oracle counts exact power-of-two thresholds — getExponent
+      // identities: clamp(-e(q),0,30) = #{L in 1..30 : q < 2^(1-L)},
+      // clamp(e(q),0,30) = #{L : q >= 2^L}, and for dim=2
+      // clamp(-(e>>1),0,30) = #{L : q < 2^(2-2L)} — so both engines
+      // compare identical IEEE quotients against exact literals.
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      docs.select(col("doc_id"), expr(
+          "(doc_id % 1000 + 1.0) / shiftleft(CAST(1 AS BIGINT), CAST(doc_id % 28 AS INT))")
+          .as("rad"))
+        .select(col("doc_id"), S2.metricLevels(col("rad")).as("m"))
+        .select(col("doc_id"), col("m._1").as("minw_lmax"),
+          col("m._2").as("maxw_lmin"), col("m._3").as("avge_closest"),
+          col("m._4").as("avga_lmax"))
+    }),
+
     "q_s2_face_uv" -> ((s, dir) => {
       // S2Coords cube-face decomposition (XYZtoFaceUV, quadratic uvToST,
       // stToIJ — s2coords.h:322-356) with a fully analytic SQL mirror.
@@ -1137,6 +1155,33 @@ object SparkEntry {
         JOIN (VALUES $cellGold64) v(doc_id, leaf_token, l10_token)
           ON d.doc_id = v.doc_id
         WHERE d.doc_id < 64""",
+
+      "q_s2_metrics_level" -> {
+        def pow2(n: Int): Double = java.lang.Math.scalb(1.0, n)
+        def cntLtD(q: String, thr: Int => Int): String =
+          (1 to 30).map(l => s"(CASE WHEN $q < ${pow2(thr(l))} THEN 1 ELSE 0 END)")
+            .mkString("(", " + ", ")")
+        def cntGe(q: String, thr: Int => Int): String =
+          (1 to 30).map(l => s"(CASE WHEN $q >= ${pow2(thr(l))} THEN 1 ELSE 0 END)")
+            .mkString("(", " + ", ")")
+        val dMinW = S2Metrics.MinWidth.deriv
+        val dMaxW = S2Metrics.MaxWidth.deriv
+        val dAvgE = S2Metrics.AvgEdge.deriv
+        val dAvgA = S2Metrics.AvgArea.deriv
+        val sqrt2 = math.sqrt(2.0)
+        s"""WITH r AS (SELECT doc_id,
+               (doc_id % 1000 + 1.0) / (CAST(1 AS BIGINT) << CAST(doc_id % 28 AS INTEGER)) AS rad
+             FROM documents),
+           q AS (SELECT doc_id, rad / $dMinW AS q1, $dMaxW / rad AS q2,
+                        ($sqrt2 * rad) / $dAvgE AS q3, (rad * rad) / $dAvgA AS q4
+                 FROM r)
+           SELECT doc_id,
+             ${cntLtD("q1", l => 1 - l)} AS minw_lmax,
+             ${cntGe("q2", l => l)} AS maxw_lmin,
+             ${cntLtD("q3", l => 1 - l)} AS avge_closest,
+             ${cntLtD("q4", l => 2 - 2 * l)} AS avga_lmax
+           FROM q"""
+      },
 
       "q_s2_face_uv" -> s"""
         WITH a AS (SELECT doc_id, x, y, z,

@@ -187,6 +187,17 @@ object S2 {
   private val levelForMetersUdf = udf { (m: Double) => levelForMaxMeters(m) }
   def levelForMeters(meters: Column): Column = levelForMetersUdf(meters)
 
+  /** Level selection across the metric family (reference s2metrics.h:
+    * 95-141): struct(minwidth_lmax, maxwidth_lmin, avgedge_closest,
+    * avgarea_lmax) for an angle in radians. */
+  val metricLevelsUdf = udf { (r: Double) =>
+    (S2Metrics.MinWidth.levelForMaxValue(r),
+      S2Metrics.MaxWidth.levelForMinValue(r),
+      S2Metrics.AvgEdge.closestLevel(r),
+      S2Metrics.AvgArea.levelForMaxValue(r * r))
+  }
+  def metricLevels(radians: Column): Column = metricLevelsUdf(radians)
+
   /** Greedy maximum-tile range tiling (reference S2CellId::maximum_tile,
     * s2cell_id.cc:168-191): minimal multi-level cell list exactly covering
     * the leaf range [rangeMin(begin), rangeMin(limit)) — `limit` is a cell
