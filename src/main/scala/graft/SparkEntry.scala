@@ -608,6 +608,34 @@ object SparkEntry {
           S2.level(col("cell_id")).as("leaf_level"))
     }),
 
+    "q_s2_poly_relation" -> ((s, dir) => {
+      // S2Polygon x S2Polygon relations (containsPolygon/intersectsPolygon:
+      // PIP vertex probes + EdgeCrosser boundary crossings,
+      // s2polygon.cc Contains/Intersects semantics) of a per-doc convex
+      // quad (half-size 0.8237 deg — the .0037 offset keeps quad corners
+      // off P1's .005-offset vertex/edge grid) against the fixed P1.
+      // rel = 2 if P1 contains the quad, 1 if they only intersect; the
+      // oracle mirrors the convex decision ladder: contained = all 4
+      // corners inside P1 (convexity forbids crossings then); intersects =
+      // any corner of either inside the other or any of the 16 edge pairs
+      // properly crossing (4 determinant signs each).
+      val h = 0.8237
+      val relUdf = udf { (lat: Double, lng: Double) =>
+        val quad = new S2Polygon(Array(S2Loop(Array(
+          V3.fromLatLngDegrees(lat - h, lng - h),
+          V3.fromLatLngDegrees(lat - h, lng + h),
+          V3.fromLatLngDegrees(lat + h, lng + h),
+          V3.fromLatLngDegrees(lat + h, lng - h)))))
+        val p1 = new S2Polygon(Array(S2Loop(P1)))
+        (p1.containsPolygon(quad), p1.intersectsPolygon(quad))
+      }
+      docsGeo(s, dir)
+        .select(col("doc_id"), relUdf(col("lat"), col("lng")).as("r"))
+        .where(col("r._2"))
+        .select(col("doc_id"),
+          when(col("r._1"), 2).otherwise(1).as("rel"))
+    }),
+
     "q_s2_metrics_level" -> ((s, dir) => {
       // S2Metric level selection (getExponent bit trick, s2metrics.h:
       // 95-141) over a per-doc angle spanning 3.7e-9..1000 rad. The
@@ -1155,6 +1183,54 @@ object SparkEntry {
         JOIN (VALUES $cellGold64) v(doc_id, leaf_token, l10_token)
           ON d.doc_id = v.doc_id
         WHERE d.doc_id < 64""",
+
+      "q_s2_poly_relation" -> {
+        // convex-ladder mirror of containsPolygon/intersectsPolygon: quad
+        // corner xyz and quad edge normals as row expressions, P1 vertices
+        // and edge normals as Scala-computed literals, proper crossings as
+        // the 4-determinant-sign test (see q_s2_edge_cross)
+        val P1n = P1.indices.map { i =>
+          val a = P1(i); val b = P1((i + 1) % 4)
+          V3(a.y * b.z - a.z * b.y, a.z * b.x - a.x * b.z, a.x * b.y - a.y * b.x)
+        }
+        def inP1c(k: Int): String = P1n.map(n =>
+          s"((${n.x})*x$k + (${n.y})*y$k + (${n.z})*z$k) > 0")
+          .mkString("(", " AND ", ")")
+        def inQuad(p: V3): String = (1 to 4).map(k =>
+          s"(nx$k*(${p.x}) + ny$k*(${p.y}) + nz$k*(${p.z})) > 0")
+          .mkString("(", " AND ", ")")
+        def crossPair(k: Int, i: Int): String = {
+          val k2 = k % 4 + 1
+          val bA = P1(i); val bB = P1((i + 1) % 4); val nb = P1n(i)
+          val d1 = s"(nx$k*(${bA.x}) + ny$k*(${bA.y}) + nz$k*(${bA.z}))"
+          val d2 = s"(nx$k*(${bB.x}) + ny$k*(${bB.y}) + nz$k*(${bB.z}))"
+          val d3 = s"((${nb.x})*x$k + (${nb.y})*y$k + (${nb.z})*z$k)"
+          val d4 = s"((${nb.x})*x$k2 + (${nb.y})*y$k2 + (${nb.z})*z$k2)"
+          s"(($d1 > 0 AND $d2 < 0 AND $d4 > 0 AND $d3 < 0) OR " +
+            s"($d1 < 0 AND $d2 > 0 AND $d4 < 0 AND $d3 > 0))"
+        }
+        val anyCross = (for (k <- 1 to 4; i <- P1.indices)
+          yield crossPair(k, i)).mkString("(", " OR ", ")")
+        val cornerCols = Seq(("1", "- 0.8237", "- 0.8237"),
+          ("2", "- 0.8237", "+ 0.8237"), ("3", "+ 0.8237", "+ 0.8237"),
+          ("4", "+ 0.8237", "- 0.8237")).map { case (k, dla, dln) =>
+          s"""cos(radians(lng $dln))*cos(radians(lat $dla)) AS x$k,
+              sin(radians(lng $dln))*cos(radians(lat $dla)) AS y$k,
+              sin(radians(lat $dla)) AS z$k""" }.mkString(", ")
+        val normalCols = (1 to 4).map { k =>
+          val k2 = k % 4 + 1
+          s"y$k*z$k2 - z$k*y$k2 AS nx$k, z$k*x$k2 - x$k*z$k2 AS ny$k, " +
+            s"x$k*y$k2 - y$k*x$k2 AS nz$k" }.mkString(", ")
+        s"""WITH c AS (SELECT doc_id, $cornerCols FROM $docsGeoSql d),
+           n AS (SELECT *, $normalCols FROM c),
+           r AS (SELECT doc_id,
+               (${(1 to 4).map(inP1c).mkString(" AND ")}) AS contained,
+               ((${(1 to 4).map(inP1c).mkString(" OR ")})
+                 OR (${P1.map(inQuad).mkString(" OR ")}) OR $anyCross) AS inter
+             FROM n)
+           SELECT doc_id, CASE WHEN contained THEN 2 ELSE 1 END AS rel
+           FROM r WHERE inter"""
+      },
 
       "q_s2_metrics_level" -> {
         def pow2(n: Int): Double = java.lang.Math.scalb(1.0, n)
