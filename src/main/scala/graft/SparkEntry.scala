@@ -370,6 +370,44 @@ object SparkEntry {
         .agg(count(lit(1)).as("cnt"), sum("id_b").as("sum_b"))
     }),
 
+    "q_s2_edge_intersect" -> ((s, dir) => {
+      // S2::GetIntersection (stable->exact ladder) on every properly
+      // crossing pair from the q_s2_edge_cross segment set. The oracle is
+      // INDEPENDENT math, not a mirror: the orientation-corrected cross
+      // product of the two edge normals (sign(a0,a1,b1) rule,
+      // s2edge_crossings.cc:667-712). Both land within ~1e-12 rad of the
+      // true intersection, so round(6)-degree outputs agree except when a
+      // coordinate sits within 1e-12 of a rounding boundary
+      // (generic-position safe; validated at all SFs).
+      val d = docsGeo(s, dir).select("doc_id", "lat", "lng")
+      val segs = d.as("p").join(d.as("q"), col("q.doc_id") === col("p.doc_id") + 1)
+        .where(col("p.doc_id") < 200)
+        .select(col("p.doc_id").as("sid"),
+          col("p.lat").as("lat1"), col("p.lng").as("lng1"),
+          col("q.lat").as("lat2"), col("q.lng").as("lng2"))
+      val pairs = RegionJoins.edgeCrossingJoin(segs, "sid", segs, "sid")
+        .where(col("id_b") > col("id_a") + 1)
+      val ix = udf { (ala1: Double, aln1: Double, ala2: Double, aln2: Double,
+                      bla1: Double, bln1: Double, bla2: Double, bln2: Double) =>
+        val p = S2EdgeIntersections.getIntersection(
+          V3.fromLatLngDegrees(ala1, aln1), V3.fromLatLngDegrees(ala2, aln2),
+          V3.fromLatLngDegrees(bla1, bln1), V3.fromLatLngDegrees(bla2, bln2))
+        (math.toDegrees(math.asin(math.max(-1.0, math.min(1.0, p.z)))),
+          math.toDegrees(math.atan2(p.y, p.x)))
+      }
+      val sa = segs.select(col("sid").as("id_a"), col("lat1").as("ala1"),
+        col("lng1").as("aln1"), col("lat2").as("ala2"), col("lng2").as("aln2"))
+      val sb = segs.select(col("sid").as("id_b"), col("lat1").as("bla1"),
+        col("lng1").as("bln1"), col("lat2").as("bla2"), col("lng2").as("bln2"))
+      pairs.join(sa, "id_a").join(sb, "id_b")
+        .select(col("id_a"), col("id_b"),
+          ix(col("ala1"), col("aln1"), col("ala2"), col("aln2"),
+            col("bla1"), col("bln1"), col("bla2"), col("bln2")).as("p"))
+        .select(col("id_a"), col("id_b"),
+          (round(col("p._1"), 6) + 0.0).as("ix_lat"),
+          (round(col("p._2"), 6) + 0.0).as("ix_lng"))
+    }),
+
     "q_s2_region_union" -> ((s, dir) => {
       // composite region types (S2RegionUnion / S2RegionIntersection):
       // the combinators drop directly into the broadcast stab machinery —
@@ -1141,6 +1179,45 @@ object SparkEntry {
             WHERE (($d1) > 0 AND ($d2) < 0 AND ($d4) > 0 AND ($d3) < 0)
                OR (($d1) < 0 AND ($d2) > 0 AND ($d4) < 0 AND ($d3) > 0)
             GROUP BY a.sid"""
+      },
+
+      "q_s2_edge_intersect" -> {
+        // independent intersection formula: q = ±(nA × nB), sign from
+        // det(a0,a1,b1) = nA·b1; lat/lng from the unnormalized vector
+        val det =
+          (n: (String, String, String), p: (String, String, String)) =>
+            s"((${n._1}) * ${p._1} + (${n._2}) * ${p._2} + (${n._3}) * ${p._3})"
+        val na = ("a.ay*a.bz - a.az*a.by", "a.az*a.bx - a.ax*a.bz", "a.ax*a.by - a.ay*a.bx")
+        val nb = ("b.ay*b.bz - b.az*b.by", "b.az*b.bx - b.ax*b.bz", "b.ax*b.by - b.ay*b.bx")
+        val d1 = det(na, ("b.ax", "b.ay", "b.az"))
+        val d2 = det(na, ("b.bx", "b.by", "b.bz"))
+        val d3 = det(nb, ("a.ax", "a.ay", "a.az"))
+        val d4 = det(nb, ("a.bx", "a.by", "a.bz"))
+        val qx = s"((${na._2})*(${nb._3}) - (${na._3})*(${nb._2}))"
+        val qy = s"((${na._3})*(${nb._1}) - (${na._1})*(${nb._3}))"
+        val qz = s"((${na._1})*(${nb._2}) - (${na._2})*(${nb._1}))"
+        s"""WITH s AS (
+              SELECT p.doc_id AS sid, p.x AS ax, p.y AS ay, p.z AS az,
+                     q.x AS bx, q.y AS by, q.z AS bz
+              FROM $docsXyzSql p JOIN $docsXyzSql q ON q.doc_id = p.doc_id + 1
+              WHERE p.doc_id < 200),
+            pr AS (
+              SELECT a.sid AS id_a, b.sid AS id_b,
+                     $qx AS qx, $qy AS qy, $qz AS qz, ($d2) AS sg
+              FROM s a JOIN s b ON b.sid > a.sid + 1
+              WHERE (($d1) > 0 AND ($d2) < 0 AND ($d4) > 0 AND ($d3) < 0)
+                 OR (($d1) < 0 AND ($d2) > 0 AND ($d4) < 0 AND ($d3) > 0)),
+            n AS (
+              SELECT id_a, id_b,
+                     CASE WHEN sg < 0 THEN -qx ELSE qx END AS x,
+                     CASE WHEN sg < 0 THEN -qy ELSE qy END AS y,
+                     CASE WHEN sg < 0 THEN -qz ELSE qz END AS z,
+                     sqrt(qx*qx + qy*qy + qz*qz) AS nn
+              FROM pr)
+            SELECT id_a, id_b,
+              round(degrees(asin(greatest(-1.0, least(1.0, z/nn)))), 6) + 0.0 AS ix_lat,
+              round(degrees(atan2(y, x)), 6) + 0.0 AS ix_lng
+            FROM n"""
       },
 
       "q_s2_region_union" -> {
