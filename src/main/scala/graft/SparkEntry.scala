@@ -674,6 +674,56 @@ object SparkEntry {
           when(col("r._1"), 2).otherwise(1).as("rel"))
     }),
 
+    "q_s2_dist_pred" -> ((s, dir) => {
+      // s2predicates.h distance-comparison surface in the gate:
+      // CompareDistances(x,A,B), CompareDistance(x,Y,r), and
+      // CompareEdgeDistance(x,E0,E1,r) signs per doc. The oracle compares
+      // raw squared chords; both engines exclude rows within 1e-12 of a
+      // tie (where only the exact tiers could disagree with raw doubles),
+      // so the gate pins the predicates' decisive-triage behavior.
+      val A = V3.fromLatLngDegrees(10.107, 20.207)
+      val B = V3.fromLatLngDegrees(-35.307, 140.507)
+      val Y = V3.fromLatLngDegrees(48.2017, -60.1013)
+      val (e0, e1) = (V3.fromLatLngDegrees(-30, -120), V3.fromLatLngDegrees(10, -100))
+      val r2 = { val sn = math.sin(0.25); 4.0 * sn * sn } // chord^2 of 0.5 rad
+      val predUdf = udf { (x: Double, y: Double, z: Double) =>
+        val p = V3(x, y, z)
+        (S2DistancePredicates.compareDistances(p, A, B),
+          S2DistancePredicates.compareDistance(p, Y, r2),
+          S2DistancePredicates.compareEdgeDistance(p, e0, e1, r2))
+      }
+      def d2(c: V3) = (col("x") - c.x) * (col("x") - c.x) +
+        (col("y") - c.y) * (col("y") - c.y) + (col("z") - c.z) * (col("z") - c.z)
+      val edgeD2 = udf { (x: Double, y: Double, z: Double) =>
+        S2EdgeDistances.distance2(V3(x, y, z), e0, e1) }
+      docsGeo(s, dir)
+        .withColumn("x", cos(radians(col("lng"))) * cos(radians(col("lat"))))
+        .withColumn("y", sin(radians(col("lng"))) * cos(radians(col("lat"))))
+        .withColumn("z", sin(radians(col("lat"))))
+        .where(abs(d2(A) - d2(B)) > 1e-12)
+        .where(abs(d2(Y) - r2) > 1e-12)
+        .where(abs(edgeD2(col("x"), col("y"), col("z")) - r2) > 1e-12)
+        .select(col("doc_id"), predUdf(col("x"), col("y"), col("z")).as("p"))
+        .select(col("doc_id"), col("p._1").as("s_ab"),
+          col("p._2").as("s_y"), col("p._3").as("s_e"))
+    }),
+
+    "q_s2_e7" -> ((s, dir) => {
+      // E6/E7 fixed-point lat/lng codec (s1angle.h:39-55): encode to
+      // scaled integers, decode back, and carry the exact decode double.
+      // Grid lat/lng sit ~1e-9 away from any .5 rounding boundary at 1e7
+      // scale, so both engines' round-to-nearest agree exactly; decode is
+      // one IEEE division — bit-identical.
+      docsGeo(s, dir)
+        .select(col("doc_id"),
+          S2.e7(col("lat")).as("lat_e7"), S2.e7(col("lng")).as("lng_e7"),
+          S2.e6(col("lat")).as("lat_e6"), S2.e6(col("lng")).as("lng_e6"))
+        .select(col("doc_id"), col("lat_e7"), col("lng_e7"),
+          col("lat_e6"), col("lng_e6"),
+          S2.fromE7(col("lat_e7")).as("lat_rt"),
+          S2.fromE6(col("lng_e6")).as("lng_rt"))
+    }),
+
     "q_s2_metrics_level" -> ((s, dir) => {
       // S2Metric level selection (getExponent bit trick, s2metrics.h:
       // 95-141) over a per-doc angle spanning 3.7e-9..1000 rad. The
@@ -1308,6 +1358,38 @@ object SparkEntry {
            SELECT doc_id, CASE WHEN contained THEN 2 ELSE 1 END AS rel
            FROM r WHERE inter"""
       },
+
+      "q_s2_dist_pred" -> {
+        val A = V3.fromLatLngDegrees(10.107, 20.207)
+        val B = V3.fromLatLngDegrees(-35.307, 140.507)
+        val Y = V3.fromLatLngDegrees(48.2017, -60.1013)
+        val (e0, e1) = (V3.fromLatLngDegrees(-30, -120), V3.fromLatLngDegrees(10, -100))
+        val r2 = { val sn = math.sin(0.25); 4.0 * sn * sn }
+        def pd2(c: V3) = s"((x-(${c.x}))*(x-(${c.x})) + (y-(${c.y}))*(y-(${c.y})) + (z-(${c.z}))*(z-(${c.z})))"
+        s"""WITH f AS (SELECT doc_id, ${pd2(A)} AS da, ${pd2(B)} AS db,
+                  ${pd2(Y)} AS dy, ${edgeDist2Sql(e0, e1)} AS de
+                FROM $docsXyzSql p)
+           SELECT doc_id,
+             CASE WHEN da < db THEN -1 WHEN da > db THEN 1 ELSE 0 END AS s_ab,
+             CASE WHEN dy < $r2 THEN -1 WHEN dy > $r2 THEN 1 ELSE 0 END AS s_y,
+             CASE WHEN de < $r2 THEN -1 WHEN de > $r2 THEN 1 ELSE 0 END AS s_e
+           FROM f
+           WHERE abs(da - db) > 1e-12 AND abs(dy - $r2) > 1e-12
+             AND abs(de - $r2) > 1e-12"""
+      },
+
+      "q_s2_e7" -> s"""
+        WITH g AS (SELECT doc_id, lat, lng FROM $docsGeoSql d),
+        e AS (SELECT doc_id,
+                CAST(round(lat * 1e7, 0) AS BIGINT) AS lat_e7,
+                CAST(round(lng * 1e7, 0) AS BIGINT) AS lng_e7,
+                CAST(round(lat * 1e6, 0) AS BIGINT) AS lat_e6,
+                CAST(round(lng * 1e6, 0) AS BIGINT) AS lng_e6
+              FROM g)
+        SELECT doc_id, lat_e7, lng_e7, lat_e6, lng_e6,
+               CAST(lat_e7 AS DOUBLE) / 1e7 AS lat_rt,
+               CAST(lng_e6 AS DOUBLE) / 1e6 AS lng_rt
+        FROM e""",
 
       "q_s2_metrics_level" -> {
         def pow2(n: Int): Double = java.lang.Math.scalb(1.0, n)
