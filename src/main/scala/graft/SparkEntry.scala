@@ -724,6 +724,35 @@ object SparkEntry {
           S2.fromE6(col("lng_e6")).as("lng_rt"))
     }),
 
+    "q_s2_max_tile" -> ((s, dir) => {
+      // Greedy maximum-tile range tiling (S2CellId::maximum_tile,
+      // s2cell_id.cc:168-191, via S2.rangeTiling). Each doc derives a
+      // leaf-index range [p0, lim) inside one cube face; the maximal-tile
+      // list covering it is unique, so the oracle replays the greedy in
+      // pure positive-BIGINT leaf-index space: the span chosen at position
+      // p is min(largest power of 4 dividing p, largest power of 4
+      // <= lim-p). Tiles are emitted as (rangeMin leaf index, leaf count)
+      // = ((id - lsb) >>> 1, lsb), which avoids unsigned-id compare pain
+      // on the oracle side while still exercising the wrapped-negative
+      // face-4/5 ids inside the kernel.
+      val F = 1L << 60 // leaves per face
+      val tilesUdf = udf { (p0: Long, lim: Long) =>
+        S2.rangeTiling(2 * p0 + 1, 2 * lim + 1).map { t =>
+          val lsbT = t & -t
+          ((t - lsbT) >>> 1, lsbT)
+        }
+      }
+      s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"),
+          ((col("doc_id") % 6) * F + 1L +
+            (col("doc_id") * 982451653L) % (F - (1L << 41))).as("p0"))
+        .withColumn("lim",
+          col("p0") + 1L + (col("doc_id") * 644741971L) % (1L << 40))
+        .select(col("doc_id"), posexplode(tilesUdf(col("p0"), col("lim"))))
+        .select(col("doc_id"), col("pos").as("seq"),
+          col("col._1").as("p_start"), col("col._2").as("span"))
+    }),
+
     "q_s2_metrics_level" -> ((s, dir) => {
       // S2Metric level selection (getExponent bit trick, s2metrics.h:
       // 95-141) over a per-doc angle spanning 3.7e-9..1000 rad. The
@@ -1390,6 +1419,38 @@ object SparkEntry {
                CAST(lat_e7 AS DOUBLE) / 1e7 AS lat_rt,
                CAST(lng_e6 AS DOUBLE) / 1e6 AS lng_rt
         FROM e""",
+
+      // 6148914691236517205 = 0x5555...5 (even bit positions = powers of
+      // 4); 1152921504606846976 = 4^30 leaves/face; 2199023255552 = 2^41;
+      // 1099511627776 = 2^40. The recursive member replays one greedy
+      // step; span = min(alignment, fit) over powers of 4.
+      "q_s2_max_tile" -> """
+        WITH RECURSIVE pows(v) AS (
+          SELECT CAST(1 AS BIGINT)
+          UNION ALL SELECT v*4 FROM pows WHERE v < 1152921504606846976
+        ),
+        ranges AS (
+          SELECT doc_id,
+            (doc_id % 6) * 1152921504606846976 + 1 +
+              (doc_id * 982451653) % (1152921504606846976 - 2199023255552) AS p0
+          FROM documents
+        ),
+        r2 AS (SELECT doc_id, p0,
+                 p0 + 1 + (doc_id * 644741971) % 1099511627776 AS lim
+               FROM ranges),
+        walk(doc_id, p, lim, seq, tp, ts) AS (
+          SELECT doc_id, p0, lim, -1,
+                 CAST(NULL AS BIGINT), CAST(NULL AS BIGINT) FROM r2
+          UNION ALL
+          SELECT doc_id, p + s, lim, seq + 1, p, s FROM (
+            SELECT doc_id, p, lim, seq,
+              least(
+                CASE WHEN (b & 6148914691236517205) != 0 THEN b ELSE b // 2 END,
+                (SELECT max(v) FROM pows WHERE v <= lim - p)) AS s
+            FROM (SELECT *, p & (-p) AS b FROM walk WHERE p < lim) w) g
+        )
+        SELECT doc_id, seq, tp AS p_start, ts AS span
+        FROM walk WHERE seq >= 0""",
 
       "q_s2_metrics_level" -> {
         def pow2(n: Int): Double = java.lang.Math.scalb(1.0, n)
