@@ -243,6 +243,15 @@ object SparkEntry {
         sin(radians(lng))*cos(radians(lat)) AS y,
         sin(radians(lat)) AS z FROM $docsGeoSql d)"""
 
+  /** Fixture for q_s2_polyline_interp: two chains (4 edges), concatenated
+    * whole-shape interpolation per S2ChainInterpolationQuery. */
+  private val interpChains: Seq[Array[V3]] = Seq(
+    Array(V3.fromLatLngDegrees(10, 20), V3.fromLatLngDegrees(25, 47),
+      V3.fromLatLngDegrees(-5, 83)),
+    Array(V3.fromLatLngDegrees(-40, -170), V3.fromLatLngDegrees(-10, -150),
+      V3.fromLatLngDegrees(30, -120)))
+  private lazy val interpQuery = new S2ChainInterpolation(interpChains)
+
   // duckdb 3-word shingle list of an expression (normalized text)
   private def shingleSql(textExpr: String): String = {
     val words = s"string_split(trim(regexp_replace(lower($textExpr), '\\s+', ' ', 'g')), ' ')"
@@ -644,6 +653,31 @@ object SparkEntry {
           S2.token(col("cell_id")).as("leaf_token"),
           S2.token(S2.parent(col("cell_id"), 10)).as("l10_token"),
           S2.level(col("cell_id")).as("leaf_level"))
+    }),
+
+    "q_s2_polyline_interp" -> ((s, dir) => {
+      // Distance-parameterized multi-chain interpolation
+      // (s2chain_interpolation_query.h:43-131): per doc, walk
+      // frac·length radians along the concatenated two-chain fixture and
+      // report the containing global edge, the clamped distance, and the
+      // interpolated point. frac spans [0, 1.1988] so the [0, length]
+      // clamp and the exact t=0/t=1 vertex shortcuts are exercised. The
+      // oracle replays the arithmetic with kernel-computed constants
+      // (cumulative lengths, per-edge slerp direction vectors) embedded
+      // as literals, so both engines run identical IEEE expressions up to
+      // the final 1-ulp trig difference absorbed by round(6).
+      val q = interpQuery
+      val len = q.length
+      val f = udf { (frac: Double) =>
+        val r = q.atDistance(frac * len).get
+        (r.edge, r.distance, r.point.x, r.point.y, r.point.z)
+      }
+      s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), ((col("doc_id") % 1000) * 0.0012).as("frac"))
+        .select(col("doc_id"), f(col("frac")).as("r"))
+        .select(col("doc_id"), col("r._1").as("edge"), col("r._2").as("dist"),
+          round(col("r._3"), 6).as("px"), round(col("r._4"), 6).as("py"),
+          round(col("r._5"), 6).as("pz"))
     }),
 
     "q_s2_poly_relation" -> ((s, dir) => {
@@ -1339,6 +1373,53 @@ object SparkEntry {
         JOIN (VALUES $cellGold64) v(doc_id, leaf_token, l10_token)
           ON d.doc_id = v.doc_id
         WHERE d.doc_id < 64""",
+
+      "q_s2_polyline_interp" -> {
+        val q = interpQuery
+        val edges = interpChains.flatMap(c =>
+          (1 until c.length).map(i => (c(i - 1), c(i))))
+        val n = edges.length
+        val cum = (0 until n).map(q.lengthAtEdgeEnd)
+        def lit(d: Double) = d.toString
+        val eCase = (0 until n - 1)
+          .map(e => s"WHEN d <= ${lit(cum(e))} THEN $e").mkString(" ")
+        def ptSql(e: Int, c: Char): String = {
+          val (a, b) = edges(e)
+          val dir = S2EdgeCrossings.robustCrossProd(a, b).cross(a).normalize
+          val theta = a.angle(b)
+          val start = if (e == 0) 0.0 else cum(e - 1)
+          val seg = cum(e) - start
+          val (av, bv, dv) = c match {
+            case 'x' => (a.x, b.x, dir.x)
+            case 'y' => (a.y, b.y, dir.y)
+            case _   => (a.z, b.z, dir.z)
+          }
+          val t = s"(d - ${lit(start)})/${lit(seg)}"
+          s"""CASE WHEN $t = 0 THEN ${lit(av)} WHEN $t = 1 THEN ${lit(bv)}
+              ELSE ${lit(av)} * cos(${lit(theta)} * $t)
+                 + ${lit(dv)} * sin(${lit(theta)} * $t) END"""
+        }
+        def coordCase(c: Char): String =
+          (0 until n).map(e => s"WHEN e = $e THEN (${ptSql(e, c)})")
+            .mkString(" ")
+        // CAST the step literal: DuckDB parses plain decimals as exact
+        // DECIMAL, and BIGINT*DECIMAL stays exact, diverging from the
+        // engine's double multiply in the last ulp.
+        s"""WITH f AS (SELECT doc_id,
+                         (doc_id % 1000) * CAST(0.0012 AS DOUBLE) AS frac
+                       FROM documents),
+            g AS (SELECT doc_id,
+                    GREATEST(CAST(0 AS DOUBLE), LEAST(${lit(q.length)},
+                                        frac * ${lit(q.length)})) AS d
+                  FROM f),
+            h AS (SELECT doc_id, d, CASE $eCase ELSE ${n - 1} END AS e
+                  FROM g)
+            SELECT doc_id, e AS edge, d AS dist,
+              round(CASE ${coordCase('x')} END, 6) AS px,
+              round(CASE ${coordCase('y')} END, 6) AS py,
+              round(CASE ${coordCase('z')} END, 6) AS pz
+            FROM h"""
+      },
 
       "q_s2_poly_relation" -> {
         // convex-ladder mirror of containsPolygon/intersectsPolygon: quad
