@@ -680,6 +680,58 @@ object SparkEntry {
           round(col("r._5"), 6).as("pz"))
     }),
 
+    "q_s2_sign_ladder" -> ((s, dir) => {
+      // Full orientation ladder (s2predicates.cc:40-224) on small-integer
+      // (non-unit) vectors: every double op is exact at these magnitudes,
+      // so triage decides iff det != 0, and an exactly-zero determinant
+      // descends stable -> BigDecimal-exact -> symbolic perturbation.
+      // Four variants per doc: generic, coplanar-with-origin
+      // (c = u*a + v*b, symbolic cases 1-4), parallel pair (c = w*b,
+      // b x c = 0), fully parallel (b = 2a, c = 3a, deep cases 5+). The
+      // oracle mirrors the whole ladder in exact BIGINT arithmetic:
+      // duplicate guard, determinant sign, then the lexicographic 3-swap
+      // permutation and the reference's symbolic case order.
+      val signUdf = udf {
+        (ax: Long, ay: Long, az: Long, bx: Long, by: Long, bz: Long,
+         cx: Long, cy: Long, cz: Long) =>
+          S2Predicates.sign(
+            V3(ax.toDouble, ay.toDouble, az.toDouble),
+            V3(bx.toDouble, by.toDouble, bz.toDouble),
+            V3(cx.toDouble, cy.toDouble, cz.toDouble))
+      }
+      val base = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"),
+          (lit(-20) + (col("doc_id") * 7) % 16).as("ax"),
+          (lit(-20) + (col("doc_id") * 11) % 16).as("ay"),
+          (lit(-20) + (col("doc_id") * 13) % 16).as("az"),
+          (lit(1) + (col("doc_id") * 5) % 16).as("bx"),
+          (lit(1) + (col("doc_id") * 3) % 16).as("by"),
+          (lit(1) + (col("doc_id") * 19) % 16).as("bz"),
+          (lit(1) + col("doc_id") % 3).as("u"),
+          (lit(1) + (col("doc_id") * 2) % 3).as("v"),
+          (lit(2) + col("doc_id") % 2).as("w"))
+      val abCols = Seq("ax", "ay", "az", "bx", "by", "bz").map(col)
+      val v0 = base.select(Seq(col("doc_id"), lit(0).as("variant")) ++ abCols ++ Seq(
+        (lit(20) + (col("doc_id") * 23) % 26).as("cx"),
+        (lit(20) + (col("doc_id") * 29) % 26).as("cy"),
+        (lit(20) + (col("doc_id") * 31) % 26).as("cz")): _*)
+      val v1 = base.select(Seq(col("doc_id"), lit(1).as("variant")) ++ abCols ++ Seq(
+        (col("u") * col("ax") + col("v") * col("bx")).as("cx"),
+        (col("u") * col("ay") + col("v") * col("by")).as("cy"),
+        (col("u") * col("az") + col("v") * col("bz")).as("cz")): _*)
+      val v2 = base.select(Seq(col("doc_id"), lit(2).as("variant")) ++ abCols ++ Seq(
+        (col("w") * col("bx")).as("cx"), (col("w") * col("by")).as("cy"),
+        (col("w") * col("bz")).as("cz")): _*)
+      val v3 = base.select(col("doc_id"), lit(3).as("variant"),
+        col("ax"), col("ay"), col("az"),
+        (col("ax") * 2).as("bx"), (col("ay") * 2).as("by"), (col("az") * 2).as("bz"),
+        (col("ax") * 3).as("cx"), (col("ay") * 3).as("cy"), (col("az") * 3).as("cz"))
+      v0.union(v1).union(v2).union(v3)
+        .select(col("doc_id"), col("variant"),
+          signUdf(col("ax"), col("ay"), col("az"), col("bx"), col("by"),
+            col("bz"), col("cx"), col("cy"), col("cz")).as("s"))
+    }),
+
     "q_s2_poly_relation" -> ((s, dir) => {
       // S2Polygon x S2Polygon relations (containsPolygon/intersectsPolygon:
       // PIP vertex probes + EdgeCrosser boundary crossings,
@@ -1419,6 +1471,75 @@ object SparkEntry {
               round(CASE ${coordCase('y')} END, 6) AS py,
               round(CASE ${coordCase('z')} END, 6) AS pz
             FROM h"""
+      },
+
+      "q_s2_sign_ladder" -> {
+        def lexLess(p: String, q: String) =
+          s"(${p}x < ${q}x OR (${p}x = ${q}x AND (${p}y < ${q}y OR " +
+            s"(${p}y = ${q}y AND ${p}z < ${q}z))))"
+        // swap points p,q when NOT lexLess(p,q), exactly mirroring
+        // exactSign's three conditional swaps with parity tracking.
+        def swapStage(from: String, p: String, q: String,
+                      firstPs: Boolean): String = {
+          val keep = Seq("a", "b", "c").filterNot(t => t == p || t == q).head
+          val cond = lexLess(p, q)
+          val ps = if (firstPs) s"CASE WHEN $cond THEN 1 ELSE -1 END AS ps"
+                   else s"CASE WHEN $cond THEN ps ELSE -ps END AS ps"
+          val coords = Seq("x", "y", "z").flatMap { c =>
+            Seq(s"CASE WHEN $cond THEN $p$c ELSE $q$c END AS $p$c",
+                s"CASE WHEN $cond THEN $q$c ELSE $p$c END AS $q$c")
+          } ++ Seq("x", "y", "z").map(c => s"$keep$c")
+          s"SELECT doc_id, variant, det, dup, ${coords.mkString(", ")}, $ps FROM $from"
+        }
+        val ladder = """CASE
+            WHEN bx*cy - by*cx != 0 THEN sign(bx*cy - by*cx)
+            WHEN bz*cx - bx*cz != 0 THEN sign(bz*cx - bx*cz)
+            WHEN by*cz - bz*cy != 0 THEN sign(by*cz - bz*cy)
+            WHEN cx*ay - cy*ax != 0 THEN sign(cx*ay - cy*ax)
+            WHEN cx != 0 THEN sign(cx)
+            WHEN cy != 0 THEN -sign(cy)
+            WHEN cz*ax - cx*az != 0 THEN sign(cz*ax - cx*az)
+            WHEN cz != 0 THEN sign(cz)
+            WHEN ax*by - ay*bx != 0 THEN sign(ax*by - ay*bx)
+            WHEN bx != 0 THEN -sign(bx)
+            WHEN by != 0 THEN sign(by)
+            WHEN ax != 0 THEN sign(ax)
+            ELSE 1 END"""
+        s"""WITH base AS (
+              SELECT doc_id,
+                -20 + (doc_id*7)%16 AS ax, -20 + (doc_id*11)%16 AS ay,
+                -20 + (doc_id*13)%16 AS az,
+                1 + (doc_id*5)%16 AS bx, 1 + (doc_id*3)%16 AS by,
+                1 + (doc_id*19)%16 AS bz,
+                1 + doc_id%3 AS u, 1 + (doc_id*2)%3 AS v, 2 + doc_id%2 AS w
+              FROM documents),
+            pts AS (
+              SELECT doc_id, 0 AS variant, ax, ay, az, bx, by, bz,
+                     20 + (doc_id*23)%26 AS cx, 20 + (doc_id*29)%26 AS cy,
+                     20 + (doc_id*31)%26 AS cz FROM base
+              UNION ALL
+              SELECT doc_id, 1, ax, ay, az, bx, by, bz,
+                     u*ax + v*bx, u*ay + v*by, u*az + v*bz FROM base
+              UNION ALL
+              SELECT doc_id, 2, ax, ay, az, bx, by, bz,
+                     w*bx, w*by, w*bz FROM base
+              UNION ALL
+              SELECT doc_id, 3, ax, ay, az, 2*ax, 2*ay, 2*az,
+                     3*ax, 3*ay, 3*az FROM base),
+            det AS (
+              SELECT *,
+                ax*(by*cz - bz*cy) - ay*(bx*cz - bz*cx) + az*(bx*cy - by*cx) AS det,
+                (ax=bx AND ay=by AND az=bz) OR (bx=cx AND by=cy AND bz=cz)
+                  OR (ax=cx AND ay=cy AND az=cz) AS dup
+              FROM pts),
+            s1 AS (${swapStage("det", "a", "b", firstPs = true)}),
+            s2 AS (${swapStage("s1", "b", "c", firstPs = false)}),
+            s3 AS (${swapStage("s2", "a", "b", firstPs = false)})
+            SELECT doc_id, variant, CAST(CASE
+              WHEN dup THEN 0
+              WHEN det > 0 THEN 1 WHEN det < 0 THEN -1
+              ELSE ps * ($ladder) END AS INT) AS s
+            FROM s3"""
       },
 
       "q_s2_poly_relation" -> {
