@@ -680,6 +680,30 @@ object SparkEntry {
           round(col("r._5"), 6).as("pz"))
     }),
 
+    "q_s2_tessellate" -> ((s, dir) => {
+      // Edge tessellator (s2edge_tessellator.h:38-95 semantics): geodesic
+      // doc->B as a Mercator-projected chain. tolerance=0 forces every
+      // internal node to split, so the recursion is a full binary tree to
+      // maxDepth (2 or 3 per doc) and the oracle needs no branch
+      // decisions: vertex k of 2^d segments is the direct slerp at
+      // fraction k/2^d (nested-midpoint vs direct slerp differ ~1e-15,
+      // absorbed by round(6)). B is off the doc lat/lng grid, so no edge
+      // is degenerate or antipodal.
+      val B = V3.fromLatLngDegrees(40.0003, 50.0007)
+      val tessUdf = udf { (x: Double, y: Double, z: Double, d: Int) =>
+        Projections.tessellateProjected(V3(x, y, z), B, 0.0, d)
+      }
+      docsGeo(s, dir)
+        .withColumn("x", cos(radians(col("lng"))) * cos(radians(col("lat"))))
+        .withColumn("y", sin(radians(col("lng"))) * cos(radians(col("lat"))))
+        .withColumn("z", sin(radians(col("lat"))))
+        .withColumn("depth", (lit(2) + col("doc_id") % 2).cast("int"))
+        .select(col("doc_id"),
+          posexplode(tessUdf(col("x"), col("y"), col("z"), col("depth"))))
+        .select(col("doc_id"), col("pos").as("seq"),
+          round(col("col._1"), 6).as("px"), round(col("col._2"), 6).as("py"))
+    }),
+
     "q_s2_sign_ladder" -> ((s, dir) => {
       // Full orientation ladder (s2predicates.cc:40-224) on small-integer
       // (non-unit) vectors: every double op is exact at these magnitudes,
@@ -1471,6 +1495,34 @@ object SparkEntry {
               round(CASE ${coordCase('y')} END, 6) AS py,
               round(CASE ${coordCase('z')} END, 6) AS pz
             FROM h"""
+      },
+
+      "q_s2_tessellate" -> {
+        val b = V3.fromLatLngDegrees(40.0003, 50.0007)
+        s"""WITH d AS (SELECT doc_id, x, y, z, 2 + doc_id % 2 AS dep
+                       FROM $docsXyzSql p),
+            ks AS (SELECT doc_id, x, y, z, dep,
+                     UNNEST(generate_series(0, CAST(pow(2, dep) AS BIGINT))) AS k
+                   FROM d),
+            c AS (SELECT *, CAST(k AS DOUBLE) / pow(2, dep) AS t,
+                    y*(${b.z}) - z*(${b.y}) AS cx,
+                    z*(${b.x}) - x*(${b.z}) AS cy,
+                    x*(${b.y}) - y*(${b.x}) AS cz,
+                    x*(${b.x}) + y*(${b.y}) + z*(${b.z}) AS dt
+                  FROM ks),
+            m AS (SELECT *, atan2(sqrt(cx*cx + cy*cy + cz*cz), dt) AS theta,
+                    cy*z - cz*y AS dx, cz*x - cx*z AS dy, cx*y - cy*x AS dz
+                  FROM c),
+            n AS (SELECT *, sqrt(dx*dx + dy*dy + dz*dz) AS dn FROM m),
+            p AS (SELECT doc_id, k,
+                    x*cos(theta*t) + dx/dn*sin(theta*t) AS qx,
+                    y*cos(theta*t) + dy/dn*sin(theta*t) AS qy,
+                    z*cos(theta*t) + dz/dn*sin(theta*t) AS qz
+                  FROM n)
+            SELECT doc_id, k AS seq,
+              round(atan2(qy, qx), 6) AS px,
+              round(ln(tan(pi()/4 + atan2(qz, sqrt(qx*qx + qy*qy))/2)), 6) AS py
+            FROM p"""
       },
 
       "q_s2_sign_ladder" -> {
