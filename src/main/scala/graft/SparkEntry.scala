@@ -252,6 +252,21 @@ object SparkEntry {
       V3.fromLatLngDegrees(30, -120)))
   private lazy val interpQuery = new S2ChainInterpolation(interpChains)
 
+  /** Fixture for q_s2_nesting: six CCW diamond rings — four nested around
+    * (10N, 20E) with radii 20/12/7/3 deg, two nested around (30S, 100W)
+    * with radii 15/6. Vertex margins to every other ring's edges are
+    * >= ~3 deg, so containment verdicts are orientation- and
+    * representative-vertex-independent. */
+  private val nestRings: IndexedSeq[Array[V3]] = {
+    def diamond(lat: Double, lng: Double, r: Double): Array[V3] = Array(
+      V3.fromLatLngDegrees(lat + r, lng), V3.fromLatLngDegrees(lat, lng - r),
+      V3.fromLatLngDegrees(lat - r, lng), V3.fromLatLngDegrees(lat, lng + r))
+    IndexedSeq(diamond(10, 20, 20), diamond(10, 20, 12), diamond(10, 20, 7),
+      diamond(10, 20, 3), diamond(-30, -100, 15), diamond(-30, -100, 6))
+  }
+  /** rings fed to the engine CW (normalization must recover them). */
+  private val nestCw = Set(1, 4)
+
   // duckdb 3-word shingle list of an expression (normalized text)
   private def shingleSql(textExpr: String): String = {
     val words = s"string_split(trim(regexp_replace(lower($textExpr), '\\s+', ' ', 'g')), ' ')"
@@ -653,6 +668,30 @@ object SparkEntry {
           S2.token(col("cell_id")).as("leaf_token"),
           S2.token(S2.parent(col("cell_id"), 10)).as("l10_token"),
           S2.level(col("cell_id")).as("leaf_level"))
+    }),
+
+    "q_s2_nesting" -> ((s, dir) => {
+      // S2ShapeNestingQuery (s2shape_nesting_query.h:77-160): per doc, the
+      // bits of doc_id select a subset of the six fixture rings (two of
+      // them fed CW to exercise small-interior normalization); the engine
+      // classifies each selected ring as shell/hole with its parent and
+      // depth. The oracle recomputes the containment matrix in DuckDB from
+      // det-sign tests (convex CCW ring contains a point iff it is left of
+      // all four edges) and derives depth = container count, parent =
+      // deepest container, shell = even depth — the reference's exact
+      // rules — entirely in SQL.
+      val rings = nestRings
+      val cw = nestCw
+      val nestUdf = udf { (docId: Long) =>
+        val idx = (0 until 6).filter(r => ((docId >> r) & 1L) == 1L)
+        val in = idx.map(r => if (cw(r)) rings(r).reverse else rings(r))
+        Nesting.shapeNesting(in).map(c => (c.chainId, c.isShell, c.parent, c.depth))
+      }
+      s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), explode(nestUdf(col("doc_id"))).as("c"))
+        .select(col("doc_id"), col("c._1").as("chain_id"),
+          col("c._2").as("is_shell"), col("c._3").as("parent"),
+          col("c._4").as("depth"))
     }),
 
     "q_s2_polyline_interp" -> ((s, dir) => {
@@ -1449,6 +1488,55 @@ object SparkEntry {
         JOIN (VALUES $cellGold64) v(doc_id, leaf_token, l10_token)
           ON d.doc_id = v.doc_id
         WHERE d.doc_id < 64""",
+
+      "q_s2_nesting" -> {
+        def dlit(d: Double) = s"CAST($d AS DOUBLE)"
+        // point p strictly left of great-circle edge u->v
+        def detPos(u: V3, v: V3, p: V3): String =
+          s"((${dlit(u.y)}*${dlit(v.z)} - ${dlit(u.z)}*${dlit(v.y)})*${dlit(p.x)} + " +
+            s"(${dlit(u.z)}*${dlit(v.x)} - ${dlit(u.x)}*${dlit(v.z)})*${dlit(p.y)} + " +
+            s"(${dlit(u.x)}*${dlit(v.y)} - ${dlit(u.y)}*${dlit(v.x)})*${dlit(p.z)} > 0.0)"
+        val cmRows = (for {
+          i <- 0 until 6; j <- 0 until 6 if i != j
+        } yield {
+          val ri = nestRings(i); val rep = nestRings(j)(0)
+          val tests = (0 until 4).map(k => detPos(ri(k), ri((k + 1) % 4), rep))
+          s"($i, $j, ${tests.mkString(" AND ")})"
+        }).mkString(",\n          ")
+        s"""WITH inc AS (
+              SELECT doc_id, r FROM documents,
+                   (VALUES (0),(1),(2),(3),(4),(5)) rs(r)
+              WHERE ((doc_id >> r) & 1) = 1),
+            cm AS (SELECT * FROM (VALUES
+              $cmRows) m(i, j, c) WHERE c),
+            deps AS (
+              SELECT a.doc_id, a.r AS j, count(c.i) AS depth
+              FROM inc a
+              LEFT JOIN (SELECT b.doc_id AS bdoc, cm.i, cm.j
+                         FROM inc b JOIN cm ON cm.i = b.r) c
+                ON c.bdoc = a.doc_id AND c.j = a.r
+              GROUP BY a.doc_id, a.r),
+            cand AS (
+              SELECT a.doc_id, a.r AS j, b.r AS i, db.depth AS idepth
+              FROM inc a JOIN inc b ON b.doc_id = a.doc_id
+              JOIN cm ON cm.i = b.r AND cm.j = a.r
+              JOIN deps db ON db.doc_id = a.doc_id AND db.j = b.r),
+            par AS (SELECT doc_id, j, i AS pg FROM (
+              SELECT *, row_number() OVER (PARTITION BY doc_id, j
+                                           ORDER BY idepth DESC) AS rk
+              FROM cand) z WHERE rk = 1),
+            rn AS (SELECT doc_id, r,
+                     row_number() OVER (PARTITION BY doc_id ORDER BY r) - 1 AS li
+                   FROM inc)
+            SELECT d.doc_id AS doc_id, rj.li AS chain_id,
+              (d.depth % 2 = 0) AS is_shell,
+              CASE WHEN d.depth % 2 = 0 THEN -1 ELSE rp.li END AS parent,
+              d.depth AS depth
+            FROM deps d
+            LEFT JOIN par p ON p.doc_id = d.doc_id AND p.j = d.j
+            JOIN rn rj ON rj.doc_id = d.doc_id AND rj.r = d.j
+            LEFT JOIN rn rp ON rp.doc_id = d.doc_id AND rp.r = p.pg"""
+      },
 
       "q_s2_polyline_interp" -> {
         val q = interpQuery
