@@ -953,6 +953,21 @@ object SparkEntry {
         .select(S2.token(col("cell")).as("cell_token"), col("weight"))
     }),
 
+    "q_s2_sql_surface" -> ((s, dir) => {
+      // End-to-end SQL extension surface: the same level-4 rollup as
+      // q_s2_cell_rollup but expressed ENTIRELY in SQL text over a temp
+      // view using the registered native expressions (s2_cellid ->
+      // s2_parent -> s2_token). Gates registration, literal type
+      // coercion, and codegen of the SQL-facing operators against the
+      // same golden-token oracle.
+      S2.registerAll(s)
+      docsGeo(s, dir).createOrReplaceTempView("graft_docs_geo")
+      s.sql("""SELECT s2_token(s2_parent(s2_cellid(lat, lng), 4)) AS cell_token,
+                      count(*) AS weight
+               FROM graft_docs_geo WHERE doc_id < 500
+               GROUP BY 1""")
+    }),
+
     "q_s2_covering" -> ((s, dir) => {
       import s.implicits._
       caps.toDF("cid", "center", "radius2")
@@ -1858,6 +1873,13 @@ object SparkEntry {
         FROM ij""",
 
       "q_s2_cell_rollup" -> s"""
+        SELECT v.l4_token AS cell_token, count(*) AS weight
+        FROM documents d
+        JOIN (VALUES $l4Gold500) v(doc_id, l4_token) ON d.doc_id = v.doc_id
+        WHERE d.doc_id < 500
+        GROUP BY v.l4_token""",
+
+      "q_s2_sql_surface" -> s"""
         SELECT v.l4_token AS cell_token, count(*) AS weight
         FROM documents d
         JOIN (VALUES $l4Gold500) v(doc_id, l4_token) ON d.doc_id = v.doc_id
