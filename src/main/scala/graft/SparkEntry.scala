@@ -953,6 +953,22 @@ object SparkEntry {
         .select(S2.token(col("cell")).as("cell_token"), col("weight"))
     }),
 
+    "q_s2_table_scan" -> ((s, dir) => {
+      // Iceberg-shaped spatial-table round trip (runtime/TableIO): write
+      // the doc table as a Hilbert-sorted, level-4-token-partitioned
+      // snapshot + JSON manifest of per-partition cell ranges, then
+      // scanRegion prunes partitions through the manifest covering and
+      // refines exactly. Fixture cap 1 (same as q_s2_cap_join) keeps the
+      // >=0.005deg doc-grid margins, so the oracle is the direct chord
+      // test over the source table.
+      val path = s"/tmp/graft_q_tableio_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+      graft.runtime.TableIO.writeSpatial(docsGeo(s, dir), path)
+      val (_, c, r2) = caps.head
+      graft.runtime.TableIO.scanRegion(s, path, S2Cap(c, r2))
+        .agg(count(lit(1)).as("cnt"),
+          sum("doc_id").cast("long").as("sum_id"))
+    }),
+
     "q_s2_sql_surface" -> ((s, dir) => {
       // End-to-end SQL extension surface: the same level-4 rollup as
       // q_s2_cell_rollup but expressed ENTIRELY in SQL text over a temp
@@ -1878,6 +1894,14 @@ object SparkEntry {
         JOIN (VALUES $l4Gold500) v(doc_id, l4_token) ON d.doc_id = v.doc_id
         WHERE d.doc_id < 500
         GROUP BY v.l4_token""",
+
+      "q_s2_table_scan" -> {
+        val (_, c, r2) = caps.head
+        s"""SELECT count(*) AS cnt, CAST(sum(p.doc_id) AS BIGINT) AS sum_id
+           FROM $docsXyzSql p
+           WHERE (p.x-(${c.x}))*(p.x-(${c.x})) + (p.y-(${c.y}))*(p.y-(${c.y}))
+                 + (p.z-(${c.z}))*(p.z-(${c.z})) <= $r2"""
+      },
 
       "q_s2_sql_surface" -> s"""
         SELECT v.l4_token AS cell_token, count(*) AS weight
