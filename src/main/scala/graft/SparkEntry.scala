@@ -569,6 +569,34 @@ object SparkEntry {
           col("v._3").as("lng"))
     }),
 
+    "q_s2_dtw_approx" -> ((s, dir) => {
+      // Approximate DTW (GetApproxVertexAlignment,
+      // s2polyline_alignment.cc:303-338): 72-vertex parallel equatorial
+      // chains per doc, lat shift s and lng start t doc-derived. 72 > 32 +
+      // radius forces two half-resolution recursions (window-from-path,
+      // upsample, dilate all exercised). The diagonal is strictly optimal
+      // (every cell cost >= the constant chord(s); non-diagonal monotone
+      // paths are strictly longer), and the refined window always contains
+      // the diagonal, so the approx alignment provably equals the exact
+      // one: cost = sum of the 72 per-vertex chords (oracle mirrors the
+      // vector arithmetic; round(9) absorbs trig ulps and sum-order), path
+      // = the diagonal (gated exactly via length and index checksum).
+      val n = 72
+      val alignUdf = udf { (sDeg: Double, tDeg: Double) =>
+        val a = Array.tabulate(n)(i => V3.fromLatLngDegrees(0, tDeg + i * 0.5))
+        val b = Array.tabulate(n)(i => V3.fromLatLngDegrees(sDeg, tDeg + i * 0.5))
+        val r = PolylineAlignment.approxVertexAlignment(a, b, 2)
+        (r.cost, r.path.length, r.path.map { case (i, j) => i.toLong * n + j }.sum)
+      }
+      s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"),
+          (lit(0.2) + (col("doc_id") % 10) * 0.01).as("s"),
+          ((col("doc_id") % 360) * 0.3).as("t"))
+        .select(col("doc_id"), alignUdf(col("s"), col("t")).as("r"))
+        .select(col("doc_id"), round(col("r._1"), 9).as("cost"),
+          col("r._2").as("path_len"), col("r._3").as("path_sum"))
+    }),
+
     "q_s2_dtw" -> ((s, dir) => {
       // S2PolylineAlignment exact DTW vertex-alignment cost (chord-norm
       // cells, full table) between 8 six-point doc trajectories
@@ -2306,6 +2334,25 @@ object SparkEntry {
                 AND (a.y*b.z - a.z*b.y)*cc.x + (a.z*b.x - a.x*b.z)*cc.y
                   + (a.x*b.y - a.y*b.x)*cc.z <= 0)"""
       },
+
+      "q_s2_dtw_approx" -> s"""
+        WITH f AS (SELECT doc_id,
+                     CAST(0.2 AS DOUBLE) + (doc_id % 10) * CAST(0.01 AS DOUBLE) AS s,
+                     (doc_id % 360) * CAST(0.3 AS DOUBLE) AS t
+                   FROM documents),
+        g AS (SELECT doc_id, s, t, UNNEST(generate_series(0, 71)) AS i FROM f),
+        c AS (SELECT doc_id, i,
+                cos(radians(t + i * CAST(0.5 AS DOUBLE))) AS ax,
+                sin(radians(t + i * CAST(0.5 AS DOUBLE))) AS ay,
+                cos(radians(s)) * cos(radians(t + i * CAST(0.5 AS DOUBLE))) AS bx,
+                cos(radians(s)) * sin(radians(t + i * CAST(0.5 AS DOUBLE))) AS by,
+                sin(radians(s)) AS bz
+              FROM g)
+        SELECT doc_id,
+          round(sum(sqrt((ax-bx)*(ax-bx) + (ay-by)*(ay-by) + bz*bz)), 9) AS cost,
+          72 AS path_len,
+          CAST(sum(i * 72 + i) AS BIGINT) AS path_sum
+        FROM c GROUP BY doc_id""",
 
       "q_s2_dtw" -> {
         // per-ref unrolled 6xM DP over the trajectory lists; cell (i,j)

@@ -87,6 +87,32 @@ object Polylines {
     subsampleIdx(toV3(lat, lng), toleranceRad)
   }
 
+  /** Approximate (coarsen→align→refine) DTW alignment — reference
+    * GetApproxVertexAlignment; cost upper-bounds the exact cost, runtime
+    * O(window) instead of O(n·m). Returns (cost, path_len). */
+  val approxDtwUdf = udf {
+    (aLat: Seq[Double], aLng: Seq[Double],
+     bLat: Seq[Double], bLng: Seq[Double], radius: Int) =>
+      val r = PolylineAlignment.approxVertexAlignment(
+        toV3(aLat, aLng), toV3(bLat, bLng), radius)
+      (r.cost, r.path.length)
+  }
+
+  /** Medoid index of a group of polylines (reference GetMedoidPolyline);
+    * apply after a bounded per-key collect_list. */
+  val medoidUdf = udf { (lats: Seq[Seq[Double]], lngs: Seq[Seq[Double]]) =>
+    PolylineAlignment.medoidPolyline(
+      lats.indices.map(i => toV3(lats(i), lngs(i))), approx = false)
+  }
+
+  /** DTW-barycenter consensus polyline of a group (reference
+    * GetConsensusPolyline); returns array<struct<lat,lng>> degrees. */
+  val consensusUdf = udf { (lats: Seq[Seq[Double]], lngs: Seq[Seq[Double]]) =>
+    PolylineAlignment.consensusPolyline(
+      lats.indices.map(i => toV3(lats(i), lngs(i))))
+      .map(p => (V3.latDegrees(p), V3.lngDegrees(p)))
+  }
+
   /** Exact DTW vertex-alignment cost between two chains (cell cost =
     * chord norm; full O(n·m) table — the reference's exact path). */
   val dtwCostUdf = udf {

@@ -1,0 +1,105 @@
+package graft.core
+
+import org.scalatest.funsuite.AnyFunSuite
+import PolylineAlignment._
+
+/** Exact / windowed / approximate DTW alignment, medoid and consensus —
+  * reference semantics from s2polyline_alignment.cc (incl. its test
+  * properties: approx cost upper-bounds exact, warp paths are monotone
+  * staircases from (0,0) to (n-1,m-1), consensus converges for shifted
+  * families). */
+class PolylineAlignmentSpec extends AnyFunSuite {
+
+  private def line(lat: Double, lng0: Double, n: Int, step: Double): Array[V3] =
+    Array.tabulate(n)(i => V3.fromLatLngDegrees(lat, lng0 + i * step))
+
+  private def zigzag(n: Int, seed: Long): Array[V3] = {
+    var s = seed
+    def next(): Double = { s = s * 6364136223846793005L + 1442695040888963407L; (s >>> 40).toDouble / (1L << 24).toDouble }
+    Array.tabulate(n)(i => V3.fromLatLngDegrees(next() * 4 - 2, i * 0.7 + next() * 0.2))
+  }
+
+  private def assertValidPath(p: Array[(Int, Int)], rows: Int, cols: Int): Unit = {
+    assert(p.head == ((0, 0)) && p.last == ((rows - 1, cols - 1)))
+    p.sliding(2).foreach { case Array((r0, c0), (r1, c1)) =>
+      val dr = r1 - r0; val dc = c1 - c0
+      assert(dr >= 0 && dc >= 0 && dr <= 1 && dc <= 1 && dr + dc >= 1)
+    case _ => ()
+    }
+  }
+
+  test("exact alignment: path valid, cost equals constant-space cost") {
+    val a = zigzag(23, 7); val b = zigzag(31, 99)
+    val r = exactVertexAlignment(a, b)
+    assertValidPath(r.path, a.length, b.length)
+    assert(math.abs(r.cost - exactCost(a, b)) < 1e-12)
+    // identical polylines align for free along the diagonal
+    val self = exactVertexAlignment(a, a)
+    assert(self.cost == 0.0 && self.path.length == a.length)
+  }
+
+  test("windowed DTW with a full window equals the exact alignment") {
+    val a = zigzag(17, 3); val b = zigzag(17, 4)
+    val full = new Window(Array.fill(a.length)(Stride(0, b.length)))
+    val w = dynamicTimewarp(a, b, full)
+    val e = exactVertexAlignment(a, b)
+    assert(w.cost == e.cost && w.path.sameElements(e.path))
+  }
+
+  test("window from warp path + upsample + dilate stays a valid staircase") {
+    val a = zigzag(40, 11); val b = zigzag(40, 12)
+    val proj = exactVertexAlignment(
+      Array.tabulate(20)(i => a(2 * i)), Array.tabulate(20)(i => b(2 * i)))
+    val w = new Window(proj.path).upsample(40, 40).dilate(2)
+    assert(w.rows == 40 && w.cols == 40)
+    assert(w.strides.head.start == 0 && w.strides.last.end == 40)
+    w.strides.sliding(2).foreach { case Array(p, c) =>
+      assert(c.start >= p.start && c.end >= p.end && c.end > c.start)
+    case _ => ()
+    }
+  }
+
+  test("approx alignment upper-bounds exact and hits it for shifted lines") {
+    // 72 vertices forces two half-resolution recursions (switchover 32)
+    val a = line(0.0, 10.0, 72, 0.5)
+    val b = line(0.3, 10.0, 72, 0.5)
+    val exact = exactVertexAlignment(a, b)
+    val approx = approxVertexAlignment(a, b, 2)
+    assert(approx.cost >= exact.cost - 1e-15)
+    // parallel shift: the diagonal is strictly optimal (every cell >= the
+    // 0.3 deg chord; non-diagonal paths are strictly longer), and the
+    // refined window always contains the diagonal
+    assert(math.abs(approx.cost - exact.cost) < 1e-12)
+    assert(approx.path.length == 72 && approx.path.forall(p => p._1 == p._2))
+    // noisy pair: still an upper bound, and within a sane factor
+    val x = zigzag(80, 21); val y = zigzag(80, 22)
+    val ec = exactCost(x, y)
+    val ac = approxVertexAlignment(x, y, 2).cost
+    assert(ac >= ec - 1e-15 && ac <= ec * 1.5)
+  }
+
+  test("small or dense inputs fall through to the exact solver") {
+    val a = zigzag(20, 5); val b = zigzag(20, 6) // below size switchover
+    assert(approxVertexAlignment(a, b, 2).cost == exactVertexAlignment(a, b).cost)
+    val c = zigzag(40, 7); val d = zigzag(40, 8) // radius 30 -> dense window
+    assert(approxVertexAlignment(c, d, 30).cost == exactVertexAlignment(c, d).cost)
+  }
+
+  test("medoid of a shifted family is the middle polyline") {
+    val family = IndexedSeq(-2.0, -1.0, 0.0, 1.0, 2.0)
+      .map(shift => line(shift, 50.0, 12, 1.0))
+    assert(medoidPolyline(family) == 2)
+    assert(medoidPolyline(family, approx = true) == 2)
+  }
+
+  test("consensus of a symmetric shifted family converges to the middle") {
+    val family = IndexedSeq(-0.4, 0.0, 0.4).map(s => line(s, 120.0, 10, 1.0))
+    val c = consensusPolyline(family, iterationCap = 10, seedMedoid = true)
+    assert(c.length == 10)
+    c.foreach { p =>
+      assert(math.abs(V3.latDegrees(p)) < 0.02) // pulled to lat ~0
+    }
+    val lngs = c.map(V3.lngDegrees)
+    lngs.indices.foreach(i => assert(math.abs(lngs(i) - (120.0 + i)) < 0.2))
+  }
+}
