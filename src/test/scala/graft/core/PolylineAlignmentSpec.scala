@@ -85,6 +85,25 @@ class PolylineAlignmentSpec extends AnyFunSuite {
     assert(approxVertexAlignment(c, d, 30).cost == exactVertexAlignment(c, d).cost)
   }
 
+  test("soak: approx upper-bounds exact with valid paths over 40 pairs") {
+    (0 until 40).foreach { trial =>
+      val n = 36 + (trial * 7) % 60
+      val m = 36 + (trial * 11) % 60
+      val a = zigzag(n, 1000 + trial)
+      val b = zigzag(m, 2000 + trial)
+      val radius = trial % 4
+      val approx = approxVertexAlignment(a, b, radius)
+      assertValidPath(approx.path, n, m)
+      val ec = exactCost(a, b)
+      assert(approx.cost >= ec - 1e-12, s"trial $trial: ${approx.cost} < $ec")
+      // path cost re-summed from cells must equal the reported cost
+      val resum = approx.path.map { case (i, j) =>
+        val d = a(i) - b(j); math.sqrt(d.x * d.x + d.y * d.y + d.z * d.z)
+      }.sum
+      assert(math.abs(resum - approx.cost) < 1e-9 * (1 + approx.cost))
+    }
+  }
+
   test("medoid of a shifted family is the middle polyline") {
     val family = IndexedSeq(-2.0, -1.0, 0.0, 1.0, 2.0)
       .map(shift => line(shift, 50.0, 12, 1.0))
