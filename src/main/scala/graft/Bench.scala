@@ -144,11 +144,19 @@ object Bench {
     var spark = session(cpus)
     // warmup (JIT + codegen caches) on the small SF
     try SparkEntry.queries("q1_agg")(spark, sfDir).count() catch { case _: Throwable => }
+    // best-of-2 per query: the first rep doubles as that query's own JIT /
+    // codegen / shuffle-file warmup, and the min removes one-sided
+    // interval contamination that a single timed rep is fully exposed to
+    // (the q1_agg warmup above only covers scan+agg kernels).
     val results = headline.map { name =>
       val fn = SparkEntry.queries.getOrElse(name, extraQueries(name))
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        (System.nanoTime() - t0) / 1e9
+      }
+      val r1 = once()
+      name -> math.min(r1, once())
     }
 
     // ---- phase 2: flagship pipeline, interleaved lo/hi protocol ----
