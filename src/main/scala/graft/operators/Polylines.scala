@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.core._
 
@@ -112,6 +112,33 @@ object Polylines {
       lats.indices.map(i => toV3(lats(i), lngs(i))))
       .map(p => (V3.latDegrees(p), V3.lngDegrees(p)))
   }
+
+  private val consensusGroupUdf = udf {
+    (ids: Seq[Long], lats: Seq[Seq[Double]], lngs: Seq[Seq[Double]]) =>
+      val polys = lats.indices.map(i => toV3(lats(i), lngs(i)))
+      val med = PolylineAlignment.medoidPolyline(polys)
+      (ids(med),
+        PolylineAlignment.consensusPolyline(polys, seedMedoid = true)
+          .map(p => (V3.latDegrees(p), V3.lngDegrees(p))))
+  }
+
+  /** Per-key trajectory reduction: the medoid trajectory id + the
+    * medoid-seeded DBA consensus polyline per key ("cluster then
+    * summarize"). One shuffle keyed by `key` carrying only vertex arrays;
+    * each key's consensus then computes independently inside its task, so
+    * the op scales with key count. collect_list order is pinned by
+    * sort_array on `trajId`, making the result deterministic. Groups must
+    * be task-bounded (10²–10⁴ trajectories per key) — the usual contract
+    * for per-key collect aggregation. */
+  def consensusByKey(df: DataFrame, key: Column, trajId: Column,
+                     lat: Column, lng: Column): DataFrame =
+    df.groupBy(key.as("key"))
+      .agg(sort_array(collect_list(
+        struct(trajId.as("id"), lat.as("la"), lng.as("lo")))).as("ts"))
+      .select(col("key"),
+        consensusGroupUdf(col("ts.id"), col("ts.la"), col("ts.lo")).as("r"))
+      .select(col("key"), col("r._1").as("medoid_id"),
+        col("r._2").as("consensus"))
 
   /** Exact DTW vertex-alignment cost between two chains (cell cost =
     * chord norm; full O(n·m) table — the reference's exact path). */

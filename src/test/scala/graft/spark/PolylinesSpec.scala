@@ -115,4 +115,28 @@ class PolylinesSpec extends AnyFunSuite {
       assert(got == want)
     }
   }
+
+  test("consensusByKey: medoid id + consensus trajectory per key") {
+    import spark.implicits._
+    // key 1: three parallel trajectories shifted in lat; middle id = 11
+    // key 2: five, middle id = 22
+    def traj(key: Int, id: Long, shift: Double): Seq[(Int, Long, Double, Double)] =
+      (0 until 8).map(i => (key, id, shift, 40.0 + i))
+    val rows = traj(1, 10, -0.4) ++ traj(1, 11, 0.0) ++ traj(1, 12, 0.4) ++
+      traj(2, 20, -0.6) ++ traj(2, 21, -0.3) ++ traj(2, 22, 0.0) ++
+      traj(2, 23, 0.3) ++ traj(2, 24, 0.6)
+    // one row per (key, trajectory): lat/lng vertex arrays
+    val df = rows.toDF("key", "traj", "lat", "lng")
+      .groupBy($"key", $"traj")
+      .agg(collect_list($"lat").as("lats"), collect_list($"lng").as("lngs"))
+    val flat = df.select($"key", $"traj", $"lats", $"lngs")
+    val out = Polylines.consensusByKey(
+      flat.select($"key", $"traj",
+        $"lats".as("lat"), $"lngs".as("lng")), $"key", $"traj", $"lat", $"lng")
+      .collect().map(r => r.getInt(0) -> r).toMap
+    assert(out(1).getLong(1) == 11L && out(2).getLong(1) == 22L)
+    val c1 = out(1).getSeq[org.apache.spark.sql.Row](2)
+    assert(c1.length == 8)
+    c1.foreach(v => assert(math.abs(v.getDouble(0)) < 0.02)) // lat pulled to 0
+  }
 }
