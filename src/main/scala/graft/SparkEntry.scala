@@ -94,6 +94,14 @@ object SparkEntry {
     8 -> V3(-0.49809734904587255, 0.862729915662821, -0.08715574274765817))
   private val withinDistR2: Double = // chord^2 of 0.15 rad (JVM-computed)
     { val s = math.sin(0.5 * 0.15); 4.0 * s * s }
+  // degree-based targets for the large-kNN gate: the engine rebuilds the
+  // vector with fromLatLngDegrees at runtime and the oracle embeds the
+  // same JVM-computed xyz as literals, so both sides use bit-identical
+  // targets; coordinates are off the 0.01-deg doc grid
+  private val knnLargeTargets: Seq[(Int, (Double, Double))] = Seq(
+    1 -> (33.17, -117.27), 2 -> (-12.05, 44.83), 3 -> (71.91, 3.37),
+    4 -> (0.03, 0.07), 5 -> (-45.55, -170.11), 6 -> (22.84, 88.39),
+    7 -> (-68.2, 101.5), 8 -> (51.07, -0.61))
   // fixed 3-vertex target chain for the Hausdorff query (lat, lng degrees)
   private val hausdorffChain: Seq[(Double, Double)] =
     Seq((10.0, 20.0), (25.0, 40.0), (40.0, 60.0))
@@ -467,6 +475,20 @@ object SparkEntry {
     "q_s2_knn" -> ((s, dir) => {
       S2Joins.knnJoin(docsGeo(s, dir), knnTargets, k = 5)
         .select("qid", "doc_id", "rank")
+    }),
+
+    "q_s2_knn_large" -> ((s, dir) => {
+      // large×large kNN radius ladder (term candidates -> per-round
+      // certification -> pi terminal round): same exact top-k contract as
+      // the broadcast path, gated against the identical brute-force SQL
+      // mirror. Radii density-matched to the small SFs (sub-0.1 rounds
+      // certify nobody at 500-5000-doc sparsity).
+      import s.implicits._
+      val targets = knnLargeTargets
+        .map { case (q, (la, ln)) => (q, la, ln) }.toDF("qid", "t_lat", "t_lng")
+      S2Joins.knnJoinLarge(docsGeo(s, dir), targets, k = 5,
+        radii = Seq(0.1, 0.4))
+        .select(col("qid"), col("doc_id"), col("rank"))
     }),
 
     "q_s2_tile_union" -> ((s, dir) => {
@@ -1416,6 +1438,19 @@ object SparkEntry {
                    p.doc_id) AS INT) AS rank
           FROM $docsXyzSql p
           CROSS JOIN (VALUES ${knnTargets.map { case (q, t) =>
+            s"($q, ${t.x}, ${t.y}, ${t.z})" }.mkString(", ")})
+            AS t(qid, tx, ty, tz))
+        WHERE rank <= 5""",
+
+      "q_s2_knn_large" -> s"""
+        SELECT qid, doc_id, rank FROM (
+          SELECT t.qid, p.doc_id,
+                 CAST(row_number() OVER (PARTITION BY t.qid ORDER BY
+                   (p.x-t.tx)*(p.x-t.tx) + (p.y-t.ty)*(p.y-t.ty) + (p.z-t.tz)*(p.z-t.tz),
+                   p.doc_id) AS INT) AS rank
+          FROM $docsXyzSql p
+          CROSS JOIN (VALUES ${knnLargeTargets.map { case (q, (la, ln)) =>
+            val t = V3.fromLatLngDegrees(la, ln)
             s"($q, ${t.x}, ${t.y}, ${t.z})" }.mkString(", ")})
             AS t(qid, tx, ty, tz))
         WHERE rank <= 5""",
