@@ -138,5 +138,23 @@ class PolylinesSpec extends AnyFunSuite {
     val c1 = out(1).getSeq[org.apache.spark.sql.Row](2)
     assert(c1.length == 8)
     c1.foreach(v => assert(math.abs(v.getDouble(0)) < 0.02)) // lat pulled to 0
+
+    // column UDFs: approx DTW cost of two shifted trajectories matches the
+    // exact kernel; medoidUdf picks the middle of the sorted family
+    val pair = flat.where($"key" === 1 && $"traj" === 10)
+      .crossJoin(flat.where($"key" === 1 && $"traj" === 12)
+        .select($"lats".as("bl"), $"lngs".as("bn")))
+    val got = pair.select(
+      Polylines.approxDtwUdf($"lats", $"lngs", $"bl", $"bn", lit(2)).as("r"))
+      .head().getStruct(0)
+    val exact = pair.select(Polylines.dtwCost($"lats", $"lngs", $"bl", $"bn"))
+      .head().getDouble(0)
+    assert(got.getDouble(0) >= exact - 1e-12 && got.getDouble(0) <= exact * 1.5)
+    val grouped = flat.where($"key" === 2)
+      .agg(collect_list($"lats").as("ls"), collect_list($"lngs").as("ns"),
+        collect_list($"traj").as("ids"))
+    val mi = grouped.select(Polylines.medoidUdf($"ls", $"ns").as("mi"),
+      $"ids").head()
+    assert(mi.getSeq[Long](1)(mi.getInt(0)) == 22L)
   }
 }
