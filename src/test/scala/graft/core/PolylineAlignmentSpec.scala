@@ -85,6 +85,71 @@ class PolylineAlignmentSpec extends AnyFunSuite {
     assert(approxVertexAlignment(c, d, 30).cost == exactVertexAlignment(c, d).cost)
   }
 
+  private def strides(w: Window): Seq[(Int, Int)] =
+    w.strides.toSeq.map(s => (s.start, s.end))
+  private def win(ss: (Int, Int)*): Window =
+    new Window(ss.map { case (a, b) => Stride(a, b) }.toArray)
+
+  test("reference goldens: window upsample (x2, x-axis x3, y-axis x3)") {
+    val w = win((0, 3), (1, 4), (2, 4), (3, 6), (4, 6))
+    assert(strides(w.upsample(10, 12)) == Seq((0, 6), (0, 6), (2, 8), (2, 8),
+      (4, 8), (4, 8), (6, 12), (6, 12), (8, 12), (8, 12)))
+    assert(strides(w.upsample(5, 18)) ==
+      Seq((0, 9), (3, 12), (6, 12), (9, 18), (12, 18)))
+    assert(strides(w.upsample(15, 6)) == Seq((0, 3), (0, 3), (0, 3),
+      (1, 4), (1, 4), (1, 4), (2, 4), (2, 4), (2, 4),
+      (3, 6), (3, 6), (3, 6), (4, 6), (4, 6), (4, 6)))
+  }
+
+  test("reference goldens: window dilate radius 0/1/2/100") {
+    val w = win((0, 3), (2, 3), (2, 3), (2, 4), (3, 6))
+    assert(strides(w.dilate(0)) == Seq((0, 3), (2, 3), (2, 3), (2, 4), (3, 6)))
+    assert(strides(w.dilate(1)) == Seq((0, 4), (0, 4), (1, 5), (1, 6), (1, 6)))
+    assert(strides(w.dilate(2)) == Seq((0, 5), (0, 6), (0, 6), (0, 6), (0, 6)))
+    assert(strides(w.dilate(100)) == Seq.fill(5)((0, 6)))
+  }
+
+  test("reference goldens: degenerate and header-example warp paths") {
+    def pl(s: String): Array[V3] = s.split(',').map { t =>
+      val Array(la, ln) = t.trim.split(':'); V3.fromLatLngDegrees(la.toDouble, ln.toDouble)
+    }
+    // length-one inputs (reference ExactLengthOneInput{s,A,B})
+    assert(exactVertexAlignment(pl("1:1"), pl("2:2")).path.toSeq == Seq((0, 0)))
+    assert(exactVertexAlignment(pl("0:0"), pl("0:0, 1:1, 2:2")).path.toSeq ==
+      Seq((0, 0), (0, 1), (0, 2)))
+    assert(exactVertexAlignment(pl("0:0, 1:1, 2:2"), pl("0:0")).path.toSeq ==
+      Seq((0, 0), (1, 0), (2, 0)))
+    // header-file example
+    assert(exactVertexAlignment(pl("1:0, 5:0, 6:0, 9:0"),
+      pl("2:0, 7:0, 8:0")).path.toSeq == Seq((0, 0), (1, 1), (2, 1), (3, 2)))
+    // distance (not squared-distance) cost: right-angle case
+    assert(exactVertexAlignment(pl("0.1:-0.1, 0.1:0, 0.1:0.1, -0.1:0.1"),
+      pl("0.1:-0.1, -0.1:-0.1, -0.1:0.1")).path.toSeq ==
+      Seq((0, 0), (1, 0), (2, 1), (3, 2)))
+  }
+
+  test("fuzzed vs brute force: DP cost equals exhaustive-path minimum") {
+    def brute(a: Array[V3], b: Array[V3]): Double = {
+      val memo = scala.collection.mutable.HashMap.empty[(Int, Int), Double]
+      def cell(i: Int, j: Int): Double = {
+        val d = a(i) - b(j); math.sqrt(d.x * d.x + d.y * d.y + d.z * d.z)
+      }
+      def go(i: Int, j: Int): Double = memo.getOrElseUpdate((i, j),
+        cell(i, j) + (
+          if (i == 0 && j == 0) 0.0
+          else if (i == 0) go(i, j - 1)
+          else if (j == 0) go(i - 1, j)
+          else math.min(go(i - 1, j - 1), math.min(go(i - 1, j), go(i, j - 1)))))
+      go(a.length - 1, b.length - 1)
+    }
+    val lines = (0 until 10).map(i => zigzag(8, 4000 + i))
+    for (i <- lines.indices; j <- i + 1 until lines.length) {
+      val bf = brute(lines(i), lines(j))
+      assert(math.abs(exactCost(lines(i), lines(j)) - bf) < 1e-12)
+      assert(math.abs(exactVertexAlignment(lines(i), lines(j)).cost - bf) < 1e-12)
+    }
+  }
+
   test("soak: approx upper-bounds exact with valid paths over 40 pairs") {
     (0 until 40).foreach { trial =>
       val n = 36 + (trial * 7) % 60
