@@ -169,6 +169,23 @@ class PolylineAlignmentSpec extends AnyFunSuite {
     }
   }
 
+  test("reference goldens: medoid contract incl. smallest-index tie-break") {
+    def pl(s: String): Array[V3] = s.split(',').map { t =>
+      val Array(la, ln) = t.trim.split(':'); V3.fromLatLngDegrees(la.toDouble, ln.toDouble)
+    }
+    assert(medoidPolyline(IndexedSeq(pl("5:0, 5:1, 5:2"))) == 0)
+    // any two polylines tie; ties break to the smallest index
+    assert(medoidPolyline(IndexedSeq(
+      pl("5:0, 5:1, 5:2"), pl("1:0, 1:1, 1:2"))) == 0)
+    assert(medoidPolyline(IndexedSeq(
+      pl("5:0, 5:1, 5:2"), pl("3:0, 3:1, 3:2"), pl("1:0, 1:1, 1:2"))) == 1)
+    assert(medoidPolyline(IndexedSeq(
+      pl("1:0, 1:1, 1:2"), pl("1:0, 1:1, 1:2"))) == 0) // identical: tie -> 0
+    assert(medoidPolyline(IndexedSeq(
+      pl("5:0, 5:1, 5:2"), pl("3:0, 3:0.5, 3:1, 3:2"),
+      pl("1:0, 1:0.5, 1:1, 1:1.5, 1:2"))) == 1) // different lengths
+  }
+
   test("medoid of a shifted family is the middle polyline") {
     val family = IndexedSeq(-2.0, -1.0, 0.0, 1.0, 2.0)
       .map(shift => line(shift, 50.0, 12, 1.0))
