@@ -36,5 +36,21 @@ class S2Extensions extends (SparkSessionExtensions => Unit) {
     inject("s2_range_max", "last leaf of cell")(es => S2RangeMax(es.head))
     inject("s2_cell_center_lat", "cell center latitude (deg)")(es => S2CellCenterLat(es.head))
     inject("s2_cell_center_lng", "cell center longitude (deg)")(es => S2CellCenterLng(es.head))
+    // spatial predicates + term generators (see S2SpatialJoinRule: a JOIN
+    // whose condition is one of these predicates plans as a term equi-join)
+    inject("s2_contains", "exact point-in-polygon(polyText, latDeg, lngDeg)") { es =>
+      S2ContainsPoint(es(0), Cast(es(1), DoubleType), Cast(es(2), DoubleType)) }
+    inject("s2_within_distance", "points within radiusRad(latA,lngA,latB,lngB,r)") { es =>
+      S2WithinDistance(Cast(es(0), DoubleType), Cast(es(1), DoubleType),
+        Cast(es(2), DoubleType), Cast(es(3), DoubleType), Cast(es(4), DoubleType)) }
+    inject("s2_point_index_terms", "ancestor index terms of a point") { es =>
+      S2PointIndexTermsExpr(Cast(es(0), DoubleType), Cast(es(1), DoubleType)) }
+    inject("s2_poly_query_terms", "query terms of a polygon region") { es =>
+      S2PolyQueryTermsExpr(es(0)) }
+    inject("s2_cap_query_terms", "query terms of a cap region") { es =>
+      S2CapQueryTermsExpr(Cast(es(0), DoubleType), Cast(es(1), DoubleType),
+        Cast(es(2), DoubleType)) }
+    // plan-time rewrite: spatial-predicate joins -> term join + refine
+    ext.injectOptimizerRule(_ => graft.plans.S2SpatialJoinRule)
   }
 }

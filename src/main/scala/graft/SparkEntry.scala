@@ -1034,6 +1034,40 @@ object SparkEntry {
                GROUP BY 1""")
     }),
 
+    "q_s2_sql_join" -> ((s, dir) => {
+      // Pure-SQL spatial join: the text a reference term_index.cc user
+      // would naively write. S2SpatialJoinRule plans it as the term
+      // equi-join + exact PIP refine (PlanAuditSpec asserts no
+      // BroadcastNestedLoopJoin/CartesianProduct survives) — same result
+      // set as q_s2_pip_join, whose polygons these are in text form.
+      S2.registerAll(s)
+      S2.enableSpatialJoins(s)
+      docsGeo(s, dir).createOrReplaceTempView("graft_docs_geo")
+      s.sql(
+        """SELECT r.qid, count(*) AS cnt, CAST(sum(d.doc_id) AS BIGINT) AS sum_id
+           FROM graft_docs_geo d
+           JOIN (VALUES (1, '0.005:0.005, 0.005:35.005, 30.005:35.005, 30.005:0.005'),
+                        (2, '-40.005:-80.005, -40.005:-30.005, -10.005:-30.005, -10.005:-80.005'))
+                AS r(qid, poly)
+             ON s2_contains(r.poly, d.lat, d.lng)
+           GROUP BY r.qid""")
+    }),
+
+    "q_s2_sql_within" -> ((s, dir) => {
+      // Pure-SQL within-distance join (same rule, cap-term rewrite path).
+      S2.registerAll(s)
+      S2.enableSpatialJoins(s)
+      docsGeo(s, dir).createOrReplaceTempView("graft_docs_geo")
+      s.sql(
+        s"""SELECT t.qid, count(*) AS cnt, CAST(sum(d.doc_id) AS BIGINT) AS sum_id
+            FROM graft_docs_geo d
+            JOIN (VALUES ${knnLargeTargets.take(4).map { case (q, (la, ln)) =>
+              s"($q, CAST($la AS DOUBLE), CAST($ln AS DOUBLE))" }.mkString(", ")})
+                 AS t(qid, t_lat, t_lng)
+              ON s2_within_distance(d.lat, d.lng, t.t_lat, t.t_lng, 0.15D)
+            GROUP BY t.qid""")
+    }),
+
     "q_s2_covering" -> ((s, dir) => {
       import s.implicits._
       caps.toDF("cid", "center", "radius2")
@@ -1972,6 +2006,28 @@ object SparkEntry {
         JOIN (VALUES $l4Gold500) v(doc_id, l4_token) ON d.doc_id = v.doc_id
         WHERE d.doc_id < 500
         GROUP BY v.l4_token""",
+
+      // same sets as q_s2_pip_join: the SQL-join polygons are P1/P2 in
+      // text form, and parsing reproduces the embedded V3s bit-exactly
+      "q_s2_sql_join" -> s"""
+        SELECT qid, cnt, sum_id FROM (
+          SELECT 1 AS qid, count(*) AS cnt, CAST(sum(doc_id) AS BIGINT) AS sum_id
+          FROM $docsXyzSql p WHERE ${pipWhere(P1)}
+          UNION ALL
+          SELECT 2 AS qid, count(*) AS cnt, CAST(sum(doc_id) AS BIGINT) AS sum_id
+          FROM $docsXyzSql p WHERE ${pipWhere(P2)})
+        WHERE cnt > 0""",
+
+      "q_s2_sql_within" -> s"""
+        SELECT t.qid, count(*) AS cnt, CAST(sum(p.doc_id) AS BIGINT) AS sum_id
+        FROM $docsXyzSql p
+        JOIN (VALUES ${knnLargeTargets.take(4).map { case (q, (la, ln)) =>
+          val t = V3.fromLatLngDegrees(la, ln)
+          s"($q, ${t.x}, ${t.y}, ${t.z})" }.mkString(", ")})
+          AS t(qid, tx, ty, tz)
+        ON (p.x-t.tx)*(p.x-t.tx) + (p.y-t.ty)*(p.y-t.ty) + (p.z-t.tz)*(p.z-t.tz)
+           <= $withinDistR2
+        GROUP BY t.qid""",
 
       "q_s2_tile_assign" -> s"""
         SELECT v.tile_id, count(*) AS cnt, CAST(sum(d.doc_id) AS BIGINT) AS sum_id

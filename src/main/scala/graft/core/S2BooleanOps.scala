@@ -34,7 +34,8 @@ import scala.collection.mutable
   *      keep the direction whose left side is in the result and right
   *      side is not. Coincident segments are emitted at most once;
   *   4. stitch kept directed sub-edges into output loops (balanced
-  *      directed multigraph walk, same-source-loop preference at shared
+  *      directed multigraph walk: [[LoopStitcher]] min-clockwise-turn
+  *      face traversal with on-path sub-cycle extraction at pinch
   *      vertices).
   *
   * Scope: inputs must be VALID polygons (no self-intersections); shared
@@ -123,13 +124,10 @@ object S2BooleanOps {
     }
 
     // 2. elementary directed subsegments, operand interior on the left.
-    // Each carries a source tag (operand, loop index) so the stitcher can
-    // prefer same-source continuation at shared vertices.
-    final case class Sub(u: V3, v: V3, tag: Int)
-    def subsegments(loops: Array[Array[Edge]], tagBase: Int): mutable.ArrayBuffer[Sub] = {
+    final case class Sub(u: V3, v: V3)
+    def subsegments(loops: Array[Array[Edge]]): mutable.ArrayBuffer[Sub] = {
       val out = new mutable.ArrayBuffer[Sub]()
-      for ((loop, li) <- loops.zipWithIndex; e <- loop) {
-        val tag = tagBase + li
+      for (loop <- loops; e <- loop) {
         val pts: Array[V3] =
           if (e.crossings == null) Array(e.v0, e.v1)
           else {
@@ -141,14 +139,14 @@ object S2BooleanOps {
           }
         var i = 0
         while (i < pts.length - 1) {
-          if (pts(i) != pts(i + 1)) out += Sub(pts(i), pts(i + 1), tag)
+          if (pts(i) != pts(i + 1)) out += Sub(pts(i), pts(i + 1))
           i += 1
         }
       }
       out
     }
-    val aSubs = subsegments(aEdges, 0)
-    val bSubs = subsegments(bEdges, 1 << 20)
+    val aSubs = subsegments(aEdges)
+    val bSubs = subsegments(bEdges)
 
     // coincidence maps over undirected elementary keys (coincident
     // segments are bitwise-identical after event splitting)
@@ -166,10 +164,10 @@ object S2BooleanOps {
       case Difference => inA && !inB
       case SymmetricDifference => throw new IllegalStateException("handled in apply()")
     }
-    val kept = new mutable.ArrayBuffer[(V3, V3, Int)]()
-    def emit(u: V3, v: V3, tag: Int, leftIn: Boolean, rightIn: Boolean): Unit = {
-      if (leftIn && !rightIn) kept += ((u, v, tag))
-      else if (rightIn && !leftIn) kept += ((v, u, tag))
+    val kept = new mutable.ArrayBuffer[(V3, V3)]()
+    def emit(u: V3, v: V3, leftIn: Boolean, rightIn: Boolean): Unit = {
+      if (leftIn && !rightIn) kept += ((u, v))
+      else if (rightIn && !leftIn) kept += ((v, u))
     }
     for (s <- aSubs) {
       val bDir = bByKey.get(keyOf(s.u, s.v))
@@ -177,19 +175,19 @@ object S2BooleanOps {
         // segment lies on BOTH boundaries: B's interior is on the left
         // exactly when the coincident B segment runs the same direction
         val sameDir = bDir.intValue == dirOf(s.u, s.v)
-        emit(s.u, s.v, s.tag, inResult(inA = true, inB = sameDir),
+        emit(s.u, s.v, inResult(inA = true, inB = sameDir),
           inResult(inA = false, inB = !sameDir))
       } else {
         // strictly off B's boundary: midpoint parity is well-defined
         val inB = b.contains(geodesicMidpoint(s.u, s.v))
-        emit(s.u, s.v, s.tag, inResult(inA = true, inB = inB),
+        emit(s.u, s.v, inResult(inA = true, inB = inB),
           inResult(inA = false, inB = inB))
       }
     }
     for (s <- bSubs) {
       if (!aKeys.contains(keyOf(s.u, s.v))) { // coincident ones already decided
         val inA = a.contains(geodesicMidpoint(s.u, s.v))
-        emit(s.u, s.v, s.tag, inResult(inA = inA, inB = true),
+        emit(s.u, s.v, inResult(inA = inA, inB = true),
           inResult(inA = inA, inB = false))
       }
     }
@@ -202,7 +200,7 @@ object S2BooleanOps {
     // see its scaladoc for why both are needed) and normalizes to the
     // parity model's small interiors.
     new S2Polygon(LoopStitcher.stitchNormalized(
-      kept.map(t => (t._1, t._2)).toSeq,
+      kept.toSeq,
       "boolean operation (self-intersecting operand?)"))
   }
 }

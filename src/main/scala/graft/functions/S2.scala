@@ -243,6 +243,47 @@ object S2 {
       es => S2CellCenterLat(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("s2_cell_center_lng",
       es => S2CellCenterLng(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("s2_contains",
+      es => S2ContainsPoint(es(0), Cast(es(1), DoubleType), Cast(es(2), DoubleType)),
+      "scala_udf")
+    reg.createOrReplaceTempFunction("s2_within_distance",
+      es => S2WithinDistance(Cast(es(0), DoubleType), Cast(es(1), DoubleType),
+        Cast(es(2), DoubleType), Cast(es(3), DoubleType), Cast(es(4), DoubleType)),
+      "scala_udf")
+    reg.createOrReplaceTempFunction("s2_point_index_terms",
+      es => S2PointIndexTermsExpr(Cast(es(0), DoubleType), Cast(es(1), DoubleType)),
+      "scala_udf")
+    reg.createOrReplaceTempFunction("s2_poly_query_terms",
+      es => S2PolyQueryTermsExpr(es(0)), "scala_udf")
+    reg.createOrReplaceTempFunction("s2_cap_query_terms",
+      es => S2CapQueryTermsExpr(Cast(es(0), DoubleType), Cast(es(1), DoubleType),
+        Cast(es(2), DoubleType)), "scala_udf")
+  }
+
+  /** Column forms of the SQL spatial predicates (the join-rewrite markers
+    * S2SpatialJoinRule recognizes — see that rule's scaladoc). */
+  def contains(polyText: Column, latDeg: Column, lngDeg: Column): Column =
+    ColumnBridge.column(S2ContainsPoint(ColumnBridge.expression(polyText),
+      ColumnBridge.expression(latDeg.cast("double")),
+      ColumnBridge.expression(lngDeg.cast("double"))))
+
+  def withinDistance(latA: Column, lngA: Column, latB: Column, lngB: Column,
+                     radiusRad: Column): Column =
+    ColumnBridge.column(S2WithinDistance(
+      ColumnBridge.expression(latA.cast("double")),
+      ColumnBridge.expression(lngA.cast("double")),
+      ColumnBridge.expression(latB.cast("double")),
+      ColumnBridge.expression(lngB.cast("double")),
+      ColumnBridge.expression(radiusRad.cast("double"))))
+
+  /** Idempotently add [[graft.plans.S2SpatialJoinRule]] to an EXISTING
+    * session's optimizer (for sessions not built with
+    * `.withExtensions(new S2Extensions)` / the spark.sql.extensions
+    * config, which inject it into the operator-optimization fixpoint). */
+  def enableSpatialJoins(spark: SparkSession): Unit = {
+    val cur = spark.experimental.extraOptimizations
+    if (!cur.contains(graft.plans.S2SpatialJoinRule))
+      spark.experimental.extraOptimizations = cur :+ graft.plans.S2SpatialJoinRule
   }
 }
 

@@ -107,7 +107,11 @@ object Aggregators {
     type Row = (Long, Double, Double)
     type Buf = (Boolean, Seq[Row])
     def hullOf(rows: Seq[Row]): Buf = {
-      val byPoint = rows.map { r => V3.fromLatLngDegrees(r._2, r._3) -> r }.toMap
+      // duplicate-coordinate rows collapse to the SMALLEST id so the
+      // surviving representative is deterministic under Spark's
+      // partition-order nondeterminism
+      val byPoint = rows.groupBy(r => V3.fromLatLngDegrees(r._2, r._3))
+        .map { case (p, rs) => p -> rs.minBy(_._1) }
       val loop = S2ConvexHull.hull(byPoint.keys.toSeq)
       if (loop.isFull) (true, Seq.empty)
       else (false, loop.vertices.toSeq.flatMap(byPoint.get).sortBy(_._1))

@@ -47,6 +47,13 @@ object Density {
     * scale), then cut the cell-ordered walk every `targetWeight`. */
   def equalWeightBoundaries(docs: DataFrame, level: Int, numShards: Int,
                             maxRefineLevel: Int = 16): Array[Long] = {
+    // the histogram is collected to the driver: a full-table histogram
+    // past level 12 (up to 6*4^12 ≈ 10^8 cells) is a driver OOM on dense
+    // worldwide data — the adaptive refinement below reaches finer levels
+    // only on already-hot SUBSETS, so cap the coarse entry level instead
+    require(level <= 12, s"equalWeightBoundaries entry level $level would " +
+      "collect up to 6*4^level cells to the driver; start at <= 12 and let " +
+      "the adaptive refinement descend on hot cells")
     val totalAll = docs.count()
     if (totalAll == 0 || numShards <= 1) return Array.empty
     val targetW = math.max(1L, totalAll / numShards)

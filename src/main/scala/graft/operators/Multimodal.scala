@@ -58,7 +58,8 @@ object Multimodal {
 
     /** STUB decode of an audio payload to `n` mono PCM samples in [-1,1].
       * Real impl: ??? (ffmpeg / javax.sound; not in this container). */
-    def decodePcm(bytes: Array[Byte], n: Int): Array[Float] = {
+    def decodePcm(bytesIn: Array[Byte], n: Int): Array[Float] = {
+      val bytes = if (bytesIn == null) Array.emptyByteArray else bytesIn
       var hsh = -3750763034362895579L
       var i = 0
       while (i < bytes.length) { hsh ^= bytes(i); hsh *= 1099511628211L; i += 1 }
@@ -246,7 +247,10 @@ object Multimodal {
     audio.mapPartitions { rows =>
       val codec = MediaCodec
       rows.flatMap { r =>
-        val dur = r.getLong(2)
+        // meta.duration_ms is nullable in mediaSchema: rows without a
+        // duration decode zero samples (no windows), matching the image
+        // path's null-bytes handling below
+        val dur = if (r.isNullAt(2)) 0L else r.getLong(2)
         val nSamples = (dur * sampleRate / 1000).toInt
           .min((maxWindowsPerDoc - 1) * hopN + frameN)
         val pcm = codec.decodePcm(r.getAs[Array[Byte]]("bytes"), math.max(nSamples, 0))

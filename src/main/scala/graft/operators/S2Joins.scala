@@ -281,6 +281,13 @@ object S2Joins {
     * (asserted sublinear by the 10⁴-target differential in S2JoinsSpec via
     * `distEvals`).
     *
+    * Contract: `docs` must be DETERMINISTIC across jobs — the two pruned
+    * passes scan it independently, so a non-reproducible input (sample(),
+    * limit() off an unordered shuffle, rand()) could make pass-2 rows
+    * inconsistent with the bounds pass-1 certified and silently drop true
+    * neighbors. Cache/checkpoint such inputs first (any parquet/table
+    * scan plus deterministic transforms is fine as-is).
+    *
     * Returns (qid, doc_id, dist2, rank). */
   def knnJoin(docs: DataFrame, targets: Seq[(Int, V3)], k: Int,
               idCol: String = "doc_id",

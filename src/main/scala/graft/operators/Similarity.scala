@@ -123,6 +123,11 @@ object Similarity {
     * candidate join is equi on (table, bucket) — shuffle O(n·tables), not
     * O(n·queries).
     *
+    * Contract: `idCol` must be unique in `data`. The slimmed pipeline
+    * re-joins candidate ids to the data side by id, so duplicate ids
+    * (even with identical vectors) would each claim a top-k rank slot —
+    * pre-dedupe upstream (`dropDuplicates(idCol)`) if ids can repeat.
+    *
     * Shuffle discipline: bucket rows and the candidate-pair dedup carry
     * (id, table, bucket) scalars only; data vectors ride exactly one
     * id-keyed join to co-locate them for scoring, the (small) query side

@@ -133,6 +133,19 @@ class PlanAuditSpec extends AnyFunSuite {
     assert("Join".r.findAllIn(plan).length >= 1, plan)
   }
 
+  test("q_s2_sql_join driver gate plans term-join, not BNLJ/cartesian") {
+    // the actual gate query text (pure SQL through S2SpatialJoinRule)
+    for (name <- Seq("q_s2_sql_join", "q_s2_sql_within")) {
+      val df = graft.SparkEntry.queries(name)(spark, "/root/testdata/sf0.001")
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==")(0)
+      assert(!plan.contains("BroadcastNestedLoopJoin"), s"$name: $plan")
+      assert(!plan.contains("CartesianProduct"), s"$name: $plan")
+      assert(plan.contains("Generate"), s"$name: $plan") // term explode present
+    }
+  }
+
   test("exact dedup groupBy hashes small keys, not text") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val plan = Dedup.exactDuplicates(docs, "doc_id", "text")
