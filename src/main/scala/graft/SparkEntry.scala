@@ -53,6 +53,15 @@ object SparkEntry {
   private val P3: Array[V3] = Array(
     V3.fromLatLngDegrees(5.005, 10.005), V3.fromLatLngDegrees(5.005, 60.005),
     V3.fromLatLngDegrees(40.005, 60.005), V3.fromLatLngDegrees(40.005, 10.005))
+  // continent-scale convex CCW quad (160-degree lng span) for the skewed
+  // term join: coarse (level >= 4) covering cells -> hot ancestor terms.
+  // Same .005-offset guarantee on the vertex grid; its long edges bulge
+  // poleward (max lat ~84.3 on the north edge), so boundary proximity to
+  // the doc grid is generic-position rather than designed — validated
+  // oracle-exact at all three SFs like q_s2_edge_intersect.
+  private val skewPolyText =
+    "-20.005:-150.005, -20.005:10.005, 60.005:10.005, 60.005:-150.005"
+  private lazy val PSkew: Array[V3] = S2TextFormat.parsePoints(skewPolyText)
 
   // trajectory for the polyline-clip query: enters P1 through its west
   // (meridian) edge, exits through its north edge — CLOSED-model clip
@@ -365,6 +374,21 @@ object SparkEntry {
         .agg(count(lit(1)).as("cnt"), sum("doc_id").as("sum_id"))
     }),
 
+    "q_s2_term_join_skew" -> ((s, dir) => {
+      // skewed large×large path: a continent-scale region whose coarse
+      // covering terms match large doc populations — the join runs through
+      // hot-term detection (full-count at this SF: threshold 2, fraction
+      // 1.0 so the salted plan is deterministically exercised) and
+      // Skew.saltedTermJoin. Results must be identical to the unsalted
+      // plan: the oracle is the plain PIP count.
+      import s.implicits._
+      val polys = Seq((1, skewPolyText)).toDF("qid", "poly")
+      S2Joins.termPolygonJoin(docsGeo(s, dir), polys,
+          saltThreshold = 2L, saltSampleFraction = 1.0)
+        .groupBy(col("qid"))
+        .agg(count(lit(1)).as("cnt"), sum("doc_id").as("sum_id"))
+    }),
+
     "q_s2_bool_op" -> ((s, dir) => {
       // S2BooleanOperation: materialize union/intersection/difference/
       // symmetric-difference polygons of P1 and P3, then classify docs
@@ -457,6 +481,38 @@ object SparkEntry {
       S2Joins.broadcastContainsJoin(docsGeo(s, dir), regions)
         .groupBy(col("qid"))
         .agg(count(lit(1)).as("cnt"), sum("doc_id").as("sum_id"))
+    }),
+
+    "q_polyline_relate" -> ((s, dir) => {
+      // polyline relation predicates (reference s2polyline.h:233,290):
+      //  - xing: doc segment (point_i -> point_{i+1}, the +1 point derived
+      //    by the same doc_id formula so both engines share it) against a
+      //    fixed 3-vertex near-equator chain; oracle = the 4-determinant
+      //    proper-crossing mirror per fixed edge (no shared vertices by
+      //    construction, so CrossingSign 0 cannot occur generically)
+      //  - covers: NearlyCovers on forward collinear equator chains
+      //    [0:ca, 0:cb] vs the fixed self [0:10.005, 0:40.005]; for this
+      //    family the search reduces exactly to the max-overhang rule
+      //    (PolylineRelationsSpec proves the reduction on 500 random
+      //    chains), which the oracle evaluates directly
+      val d = docsGeo(s, dir).where(col("doc_id") < 300)
+        .select(col("doc_id"),
+          col("lat").cast("double").as("lat1"),
+          col("lng").cast("double").as("lng1"),
+          (((col("doc_id") + 1) * 7919 % 17000) / 100.0 - 85.0).as("lat2"),
+          (((col("doc_id") + 1) * 104729 % 36000) / 100.0 - 180.0).as("lng2"),
+          ((col("doc_id") * 13 % 600) / 10.0).as("ca"),
+          ((col("doc_id") * 13 % 600) / 10.0 +
+            ((col("doc_id") * 7 % 80) + 1) / 10.0).as("cb"))
+      d.select(col("doc_id"),
+        Polylines.intersects(
+          array(lit(0.005), lit(0.005), lit(0.005)),
+          array(lit(-120.005), lit(0.005), lit(120.005)),
+          array(col("lat1"), col("lat2")), array(col("lng1"), col("lng2"))).as("xing"),
+        Polylines.nearlyCovers(
+          array(lit(0.0), lit(0.0)), array(lit(10.005), lit(40.005)),
+          array(lit(0.0), lit(0.0)), array(col("ca"), col("cb")),
+          lit(0.02)).as("covers"))
     }),
 
     "q_polyline_clip" -> ((s, dir) => {
@@ -1464,6 +1520,10 @@ object SparkEntry {
         SELECT 1 AS qid, count(*) AS cnt, CAST(sum(doc_id) AS BIGINT) AS sum_id
         FROM $docsXyzSql p WHERE ${pipWhere(P1)}""",
 
+      "q_s2_term_join_skew" -> s"""
+        SELECT 1 AS qid, count(*) AS cnt, CAST(sum(doc_id) AS BIGINT) AS sum_id
+        FROM $docsXyzSql p WHERE ${pipWhere(PSkew)}""",
+
       "q_s2_knn" -> s"""
         SELECT qid, doc_id, rank FROM (
           SELECT t.qid, p.doc_id,
@@ -1593,6 +1653,46 @@ object SparkEntry {
               SELECT 3 AS qid, count(*) AS cnt, CAST(sum(doc_id) AS BIGINT) AS sum_id
               FROM $docsXyzSql p WHERE ($rectTest) OR (${pipWhere(P2)}))
             WHERE cnt > 0"""
+      },
+
+      "q_polyline_relate" -> {
+        // xing: 4-determinant proper-crossing mirror (as q_s2_edge_cross)
+        // against the two fixed chain edges; covers: the max-overhang rule
+        // the collinear-equator family reduces to (PolylineRelationsSpec)
+        val A = Seq(V3.fromLatLngDegrees(0.005, -120.005),
+          V3.fromLatLngDegrees(0.005, 0.005),
+          V3.fromLatLngDegrees(0.005, 120.005))
+        def crossCond(a0: V3, a1: V3): String = {
+          val n = a0.cross(a1)
+          val d1 = s"((${n.x})*x + (${n.y})*y + (${n.z})*z)"
+          val d2 = s"((${n.x})*x2 + (${n.y})*y2 + (${n.z})*z2)"
+          val d3 = s"(nbx*(${a0.x}) + nby*(${a0.y}) + nbz*(${a0.z}))"
+          val d4 = s"(nbx*(${a1.x}) + nby*(${a1.y}) + nbz*(${a1.z}))"
+          s"""((($d1) > 0 AND ($d2) < 0 AND ($d4) > 0 AND ($d3) < 0)
+               OR (($d1) < 0 AND ($d2) > 0 AND ($d4) < 0 AND ($d3) > 0))"""
+        }
+        s"""WITH b AS (
+              SELECT doc_id, x, y, z,
+                     ((doc_id+1)*7919 % 17000)/100.0 - 85.0 AS lat2,
+                     ((doc_id+1)*104729 % 36000)/100.0 - 180.0 AS lng2,
+                     (doc_id*13 % 600)/10.0 AS ca,
+                     (doc_id*13 % 600)/10.0 + ((doc_id*7 % 80)+1)/10.0 AS cb
+              FROM $docsXyzSql p WHERE doc_id < 300),
+            c AS (
+              SELECT doc_id, x, y, z, ca, cb,
+                     cos(radians(lng2))*cos(radians(lat2)) AS x2,
+                     sin(radians(lng2))*cos(radians(lat2)) AS y2,
+                     sin(radians(lat2)) AS z2
+              FROM b),
+            d AS (
+              SELECT doc_id, x, y, z, x2, y2, z2, ca, cb,
+                     (y*z2 - z*y2) AS nbx, (z*x2 - x*z2) AS nby,
+                     (x*y2 - y*x2) AS nbz
+              FROM c)
+            SELECT doc_id,
+                   (${crossCond(A(0), A(1))} OR ${crossCond(A(1), A(2))}) AS xing,
+                   radians(greatest(10.005 - ca, cb - 40.005, 0)) <= 0.02 AS covers
+            FROM d"""
       },
 
       "q_polyline_clip" -> {

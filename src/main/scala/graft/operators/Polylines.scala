@@ -188,6 +188,22 @@ object Polylines {
     }.orNull
   }
 
+  /** Polyline×polyline Intersects predicate (reference s2polyline.h:233,
+    * s2polyline.cc:356-375): any proper crossing or vertex/edge touch. */
+  val intersectsUdf = udf { (aLat: Seq[Double], aLng: Seq[Double],
+                             bLat: Seq[Double], bLng: Seq[Double]) =>
+    S2PolylineRelations.intersects(toV3(aLat, aLng), toV3(bLat, bLng))
+  }
+
+  /** NearlyCovers predicate (reference s2polyline.h:290, the "two cars"
+    * reparameterization search): chain A nearly covers chain B within
+    * `maxErrorRad`. */
+  val nearlyCoversUdf = udf { (aLat: Seq[Double], aLng: Seq[Double],
+                               bLat: Seq[Double], bLng: Seq[Double],
+                               maxErrorRad: Double) =>
+    S2PolylineRelations.nearlyCovers(toV3(aLat, aLng), toV3(bLat, bLng), maxErrorRad)
+  }
+
   def length(lat: Column, lng: Column): Column = lengthUdf(lat, lng)
   def atFraction(lat: Column, lng: Column, f: Column): Column =
     atFractionUdf(lat, lng, f)
@@ -197,4 +213,9 @@ object Polylines {
     subsampleUdf(lat, lng, tolRad)
   def dtwCost(aLat: Column, aLng: Column, bLat: Column, bLng: Column): Column =
     dtwCostUdf(aLat, aLng, bLat, bLng)
+  def intersects(aLat: Column, aLng: Column, bLat: Column, bLng: Column): Column =
+    intersectsUdf(aLat, aLng, bLat, bLng)
+  def nearlyCovers(aLat: Column, aLng: Column, bLat: Column, bLng: Column,
+                   maxErrorRad: Column): Column =
+    nearlyCoversUdf(aLat, aLng, bLat, bLng, maxErrorRad)
 }

@@ -102,10 +102,24 @@ object S2Joins {
     * ancestor terms carry three scalars through the exchange, never the
     * document payload (`spans` would otherwise ride the shuffle 13×).
     * Refined (doc_id, qid) matches re-join the full rows once, id-keyed
-    * (AQE broadcasts the match side when selectivity allows). */
+    * (AQE broadcasts the match side when selectivity allows).
+    *
+    * Skew handling is AUTOMATIC: before the candidate join, a sampled
+    * doc-term histogram (one cheap job over `saltSampleFraction` of the
+    * doc side) detects terms whose doc population exceeds
+    * `saltThreshold` — the reference's own motivating skew case, a
+    * continent-sized region's coarse ancestor term matching a whole
+    * clustered doc population (s2density_tree.h:45-50) — and the join
+    * runs through [[Skew.saltedTermJoin]]: hot-term doc rows spread over
+    * `hash(doc_id) % saltFactor` sub-keys, region rows replicated only
+    * for those terms. Results are identical (plan-level rebalancing
+    * only); AQE skew split remains as backstop. Set `saltThreshold <= 0`
+    * to disable detection entirely. */
   def termPolygonJoin(docs: DataFrame, polys: DataFrame,
                       polyTextCol: String = "poly", qidCol: String = "qid",
-                      indexer: S2TermIndexer = new S2TermIndexer()): DataFrame = {
+                      indexer: S2TermIndexer = new S2TermIndexer(),
+                      saltThreshold: Long = 2000000L,
+                      saltSampleFraction: Double = 0.001): DataFrame = {
     val queryTermsUdf = udf { (text: String) =>
       indexer.queryTerms(graft.functions.PolyCache.get(text))
     }
@@ -114,7 +128,21 @@ object S2Joins {
     val d = docIndexTerms(slim, indexer)
     val q = polys.select(col(qidCol), col(polyTextCol),
       explode(queryTermsUdf(col(polyTextCol))).as("term"))
-    val matches = d.join(q, "term")
+    val salts: Map[String, Int] =
+      if (saltThreshold <= 0) Map.empty
+      else {
+        // sample the DOCS (not the exploded terms) so the detection job
+        // computes terms only for the sampled fraction
+        val f = math.min(1.0, math.max(saltSampleFraction, 0.0))
+        val src = if (f < 1.0)
+          slim.sample(withReplacement = false, f, seed = 42L) else slim
+        Skew.hotTerms(docIndexTerms(src, indexer).select("term"), "term",
+          threshold = math.max(1L, (saltThreshold * f).toLong))
+      }
+    val joined =
+      if (salts.isEmpty) d.join(q, "term")
+      else Skew.saltedTermJoin(d, q, "term", col("doc_id"), salts)
+    val matches = joined
       .drop("term")
       // a doc can match a region through several terms → dedupe, then refine
       .dropDuplicates("doc_id", qidCol)

@@ -133,6 +133,29 @@ class PlanAuditSpec extends AnyFunSuite {
     assert("Join".r.findAllIn(plan).length >= 1, plan)
   }
 
+  test("termPolygonJoin auto-salts hot terms on clustered docs, same rows") {
+    val docs = S2Joins.withCellId(spark.read.parquet(docsPath), col("lat"), col("lng"))
+    import spark.implicits._
+    // continent-scale quad: its coarse covering terms match whole clusters
+    val polys = Seq((1, "-20.005:-150.005, -20.005:10.005, 60.005:10.005, 60.005:-150.005"))
+      .toDF("qid", "poly")
+    // 2000 docs, 80% in 20 clusters -> ~80 docs share each cluster's
+    // ancestor terms; threshold 20 must trigger detection
+    val salted = S2Joins.termPolygonJoin(docs, polys,
+      saltThreshold = 20L, saltSampleFraction = 1.0)
+    val unsalted = S2Joins.termPolygonJoin(docs, polys, saltThreshold = 0L)
+    val plan = salted.queryExecution.optimizedPlan.toString
+    assert(plan.contains("_salt"), s"auto-salt did not engage:\n$plan")
+    val key = (df: org.apache.spark.sql.DataFrame) =>
+      df.select("doc_id", "qid").collect().map(r => (r.getString(0), r.getInt(1))).sorted
+    assert(key(salted).sameElements(key(unsalted)))
+    assert(salted.count() > 0)
+    // still a pure equi-join plan — no BNLJ from the salt columns
+    val phys = salted.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(!phys.contains("BroadcastNestedLoopJoin"), phys)
+    assert(!phys.contains("CartesianProduct"), phys)
+  }
+
   test("q_s2_sql_join driver gate plans term-join, not BNLJ/cartesian") {
     // the actual gate query text (pure SQL through S2SpatialJoinRule)
     for (name <- Seq("q_s2_sql_join", "q_s2_sql_within")) {
