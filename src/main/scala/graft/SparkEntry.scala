@@ -1370,6 +1370,56 @@ object SparkEntry {
           ((col("doc_id") * 9973 % 59000) + 1000).as("duration_ms")).as("meta"))
       Multimodal.sampleFrames(media, 4)
         .select(col("media_ref"), col("frame_off"))
+    }),
+
+    "q_media_real" -> ((s, dir) => {
+      // REAL codec path: deterministic binary 8x8 gray images (pixel i is
+      // 255 iff i>0 and ((doc_id+131)*(i+37)*2654435761) % 1000003 <
+      // 400000; i=0 stays 0 so bit 63 never sets, and the per-doc stride
+      // of the product form decorrelates patterns across doc_ids — 494
+      // distinct signatures per 500 docs) are encoded as genuine PNG bytes,
+      // decoded back via javax.imageio, aHash64'd, and near-dup-paired by
+      // chunk LSH. Planted re-encodes (doc_id % 5 == 0 variants with
+      // pixels 9 and 18 cleared) are found at Hamming <= 2. Binary pixels
+      // make the hash integer-exact: px > mean is 1.0f > k/64 with
+      // k < 64 — no float ties — so the oracle mirrors the whole pipeline
+      // in pure BIGINT.
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .where(col("doc_id") < 500)
+      val pngUdf = udf { (id: Long, variant: Boolean) =>
+        val px = Array.tabulate(64) { i =>
+          val one = i > 0 &&
+            ((id + 131L) * (i + 37L) * 2654435761L % 1000003L < 400000L) &&
+            !(variant && (i == 9 || i == 18))
+          if (one) 255 else 0
+        }
+        Multimodal.MediaCodec.encodePng(px, 8, 8)
+      }
+      val base = docs.select(concat(lit("m"), col("doc_id")).as("media_ref"),
+        pngUdf(col("doc_id"), lit(false)).as("bytes"))
+      val vars = docs.where(col("doc_id") % 5 === 0)
+        .select(concat(lit("v"), col("doc_id")).as("media_ref"),
+          pngUdf(col("doc_id"), lit(true)).as("bytes"))
+      Multimodal.mediaNearDupPairsReal(base.unionByName(vars),
+        maxHamming = 3, decodeW = 8, decodeH = 8)
+    }),
+
+    "q_media_audio" -> ((s, dir) => {
+      // REAL audio path: deterministic PCM16 samples (v_i = (doc_id*7 +
+      // i*13) % 201 - 100, 1200 samples) are encoded as genuine WAV
+      // bytes, decoded back via javax.sound.sampled, and framed into
+      // non-overlapping 400-sample windows with exact Q30 energies.
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .where(col("doc_id") < 200)
+      val wavUdf = udf { (id: Long) =>
+        val pcm = Array.tabulate[Short](1200) { i =>
+          (((id * 7 + i * 13) % 201) - 100).toShort
+        }
+        Multimodal.MediaCodec.encodeWavPcm16(pcm, 16000)
+      }
+      val media = docs.select(concat(lit("a"), col("doc_id")).as("media_ref"),
+        wavUdf(col("doc_id")).as("bytes"))
+      Multimodal.audioEnergyQ30(media, frameN = 400, hopN = 400)
     }))
 
   /** DuckDB-runnable oracles (same parquet tables, same column names).
@@ -2675,6 +2725,47 @@ object SparkEntry {
       "q_media_frames" -> """
         SELECT 'mr://' || doc_id AS media_ref,
                ((doc_id*9973 % 59000) + 1000) * (2*i + 1) // 8 AS frame_off
-        FROM documents, generate_series(0, 3) AS g(i)""")
+        FROM documents, generate_series(0, 3) AS g(i)""",
+
+      // full BIGINT mirror of the real-PNG aHash pipeline: binary pixels
+      // make aHash = sum of 2^(63-i) over 1-pixels (0 < k < 64), then the
+      // chunk-LSH candidate rule + Hamming verify replayed over all pairs
+      "q_media_real" -> {
+        def hashExpr(variantCond: String): String =
+          s"""CAST(list_sum(list_transform(range(1, 64), i ->
+                CASE WHEN ((doc_id+131) * (i+37) * 2654435761) % 1000003 < 400000 $variantCond
+                     THEN (CAST(1 AS BIGINT) << CAST(63 - i AS INTEGER))
+                     ELSE CAST(0 AS BIGINT) END)) AS BIGINT)"""
+        s"""WITH h AS (
+              SELECT concat('m', CAST(doc_id AS VARCHAR)) AS ref,
+                     ${hashExpr("")} AS sig
+              FROM documents WHERE doc_id < 500
+              UNION ALL
+              SELECT concat('v', CAST(doc_id AS VARCHAR)) AS ref,
+                     ${hashExpr("AND NOT (i = 9 OR i = 18)")} AS sig
+              FROM documents WHERE doc_id < 500 AND doc_id % 5 = 0)
+            SELECT ref_a, ref_b, hamming FROM (
+              SELECT a.ref AS ref_a, b.ref AS ref_b,
+                     CAST(bit_count(xor(a.sig, b.sig)) AS INTEGER) AS hamming,
+                     a.sig AS sa, b.sig AS sb
+              FROM h a JOIN h b ON a.ref < b.ref)
+            WHERE hamming <= 3
+              AND (((sa >> 0) & 65535) = ((sb >> 0) & 65535) OR
+                   ((sa >> 16) & 65535) = ((sb >> 16) & 65535) OR
+                   ((sa >> 32) & 65535) = ((sb >> 32) & 65535) OR
+                   ((sa >> 48) & 65535) = ((sb >> 48) & 65535))"""
+      },
+
+      // exact Q30 window energies of the WAV roundtrip: energy_q30 is the
+      // plain integer sum of squared PCM16 samples per 400-sample window
+      "q_media_audio" -> """
+        SELECT concat('a', CAST(d.doc_id AS VARCHAR)) AS media_ref,
+               CAST(w.w AS INTEGER) AS win_idx,
+               CAST(list_sum(list_transform(range(0, 400), i ->
+                 ((d.doc_id*7 + (w.w*400 + i)*13) % 201 - 100) *
+                 ((d.doc_id*7 + (w.w*400 + i)*13) % 201 - 100))) AS BIGINT)
+                 AS energy_q30
+        FROM documents d, (VALUES (0), (1), (2)) w(w)
+        WHERE d.doc_id < 200""")
   }
 }

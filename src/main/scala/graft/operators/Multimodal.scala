@@ -9,12 +9,17 @@ import org.apache.spark.sql.types._
   * decode/feature/resize/frame-sample implemented as per-partition batch
   * transforms.
   *
-  * The actual codec step is STUBBED — this container has no image/audio
-  * libraries — behind [[MediaCodec]], which produces a deterministic fake
-  * decode (seeded by content hash). Everything Spark-side is real and
-  * load-bearing: schemas, batched per-partition execution (one codec
-  * context per partition, not per row), partition sizing, and the
-  * metadata/feature column contracts.
+  * [[MediaCodec]] carries TWO decode paths behind the same batch seam:
+  * REAL JDK codecs — PNG/JPEG/BMP via javax.imageio, WAV/PCM via
+  * javax.sound.sampled — used by the *Real operators and the
+  * q_media_real / q_media_audio gates, and a deterministic synthetic
+  * decode (seeded by content hash) kept for parity tests and for media
+  * formats the JDK cannot parse (the video frame path still synthesizes:
+  * no mp4 demuxer ships with the JDK — a production build swaps in
+  * javacv/ffmpeg behind the identical batch interface). Everything
+  * Spark-side is shared and real: schemas, batched per-partition
+  * execution (one codec context per partition, not per row), partition
+  * sizing, and the metadata/feature column contracts.
   */
 object Multimodal {
 
@@ -32,8 +37,9 @@ object Multimodal {
     * per call) so the Spark plumbing — one codec context per partition,
     * amortized over a batch — is identical with a real GPU/ffmpeg codec. */
   object MediaCodec {
-    /** STUB decode: deterministic pseudo-pixels from the content hash.
-      * Real impl: ??? (ImageIO / ffmpeg bindings; not in this container). */
+    /** SYNTHETIC decode: deterministic pseudo-pixels from the content
+      * hash — the parity-test twin of [[decodeImageReal]], and the
+      * fallback for bytes the JDK cannot parse. */
     def decodeImage(bytes: Array[Byte], w: Int, h: Int): Array[Float] = {
       // deterministic fake: FNV over bytes seeds a tiny LCG "image"
       var hsh = -3750763034362895579L
@@ -56,8 +62,8 @@ object Multimodal {
     def decodeImageBatch(batch: Seq[Array[Byte]], w: Int, h: Int): Seq[Array[Float]] =
       batch.map(b => decodeImage(if (b == null) Array.emptyByteArray else b, w, h))
 
-    /** STUB decode of an audio payload to `n` mono PCM samples in [-1,1].
-      * Real impl: ??? (ffmpeg / javax.sound; not in this container). */
+    /** SYNTHETIC decode of an audio payload to `n` mono PCM samples in
+      * [-1,1] — the parity-test twin of [[decodePcmReal]]. */
     def decodePcm(bytesIn: Array[Byte], n: Int): Array[Float] = {
       val bytes = if (bytesIn == null) Array.emptyByteArray else bytesIn
       var hsh = -3750763034362895579L
@@ -76,9 +82,11 @@ object Multimodal {
       out
     }
 
-    /** STUB decode of one video frame at a byte+offset key: deterministic
-      * pixels seeded by (content hash, frame offset) so adjacent frames of
-      * the same video differ. Real impl: ??? (ffmpeg seek+decode). */
+    /** SYNTHETIC decode of one video frame at a byte+offset key:
+      * deterministic pixels seeded by (content hash, frame offset) so
+      * adjacent frames of the same video differ. The JDK ships no mp4
+      * demuxer — a production build swaps in ffmpeg/javacv here behind
+      * the same (bytes, offset) -> pixels signature. */
     def decodeFrame(bytes: Array[Byte], offsetMs: Long, w: Int, h: Int): Array[Float] = {
       val tag = java.nio.ByteBuffer.allocate(8).putLong(offsetMs).array()
       decodeImage((if (bytes == null) Array.emptyByteArray else bytes) ++ tag, w, h)
@@ -88,6 +96,100 @@ object Multimodal {
     def sampleFrameOffsets(durationMs: Long, n: Int): Array[Long] =
       if (durationMs <= 0 || n <= 0) Array.empty
       else (0 until n).map(i => durationMs * (2L * i + 1) / (2L * n)).toArray
+
+    // ---- REAL codecs (JDK built-ins; no external libraries) ----------
+
+    /** Encode 8-bit gray pixels (row-major ints 0..255) as a real PNG.
+      * PNG is lossless: decodeImageReal(encodePng(px)) == px exactly. */
+    def encodePng(px: Array[Int], w: Int, h: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      val raster = img.getRaster
+      var i = 0
+      while (i < px.length) { raster.setSample(i % w, i / w, 0, px(i)); i += 1 }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+
+    /** REAL image decode via javax.imageio (PNG/JPEG/BMP/GIF): gray
+      * pixels in [0,1] at native size. Single-band rasters use the raw
+      * sample (exact for gray PNG roundtrips); multi-band images reduce
+      * by integer luminance (299r + 587g + 114b) / 1000. Returns None
+      * when the bytes are not a decodable image. */
+    def decodeImageReal(bytes: Array[Byte]): Option[(Array[Float], Int, Int)] = {
+      if (bytes == null || bytes.length == 0) return None
+      try {
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+        if (img == null) None
+        else {
+          val w = img.getWidth; val h = img.getHeight
+          val raster = img.getRaster
+          val bands = raster.getNumBands
+          val out = new Array[Float](w * h)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val v =
+                if (bands == 1) raster.getSample(x, y, 0)
+                else {
+                  val r = raster.getSample(x, y, 0)
+                  val g = raster.getSample(x, y, 1)
+                  val b = raster.getSample(x, y, 2)
+                  (299 * r + 587 * g + 114 * b) / 1000
+                }
+              out(y * w + x) = v / 255.0f
+              x += 1
+            }
+            y += 1
+          }
+          Some((out, w, h))
+        }
+      } catch { case _: Exception => None }
+    }
+
+    /** Encode mono PCM16 samples as a real little-endian WAV. Lossless:
+      * decodePcmReal(encodeWavPcm16(s, r)) == s / 32768f exactly. */
+    def encodeWavPcm16(samples: Array[Short], sampleRate: Int): Array[Byte] = {
+      import javax.sound.sampled._
+      val raw = new Array[Byte](samples.length * 2)
+      var i = 0
+      while (i < samples.length) {
+        raw(2 * i) = (samples(i) & 0xFF).toByte
+        raw(2 * i + 1) = (samples(i) >> 8).toByte
+        i += 1
+      }
+      val fmt = new AudioFormat(sampleRate.toFloat, 16, 1, true, false)
+      val ais = new AudioInputStream(
+        new java.io.ByteArrayInputStream(raw), fmt, samples.length.toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+
+    /** REAL audio decode via javax.sound.sampled (WAV/PCM16 mono LE):
+      * samples in [-1,1] (v / 32768f — exact for |v| < 2^15) plus the
+      * container's sample rate. None when the bytes are not parseable. */
+    def decodePcmReal(bytes: Array[Byte]): Option[(Array[Float], Int)] = {
+      if (bytes == null || bytes.length == 0) return None
+      try {
+        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        val fmt = ais.getFormat
+        if (fmt.getSampleSizeInBits != 16 || fmt.getChannels != 1 ||
+            fmt.isBigEndian) return None
+        val raw = ais.readAllBytes()
+        val out = new Array[Float](raw.length / 2)
+        var i = 0
+        while (i < out.length) {
+          val v = ((raw(2 * i) & 0xFF) | (raw(2 * i + 1) << 8)).toShort
+          out(i) = v / 32768.0f
+          i += 1
+        }
+        Some((out, fmt.getSampleRate.toInt))
+      } catch { case _: Exception => None }
+    }
   }
 
   // ---- real pixel math (operates on decoded arrays; nothing stubbed) ----
@@ -200,6 +302,35 @@ object Multimodal {
     }(enc)
   }
 
+  /** [[perceptualHashes]] through the REAL image decode: javax.imageio
+    * at native size, bilinear resize to the hash dims, aHash64. Bytes the
+    * JDK cannot parse fall back to the synthetic decode so mixed tables
+    * stay total. Output carries only (media_ref, phash). */
+  def perceptualHashesReal(media: DataFrame, decodeW: Int = 16, decodeH: Int = 16,
+                           batchSize: Int = 64): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_ref", StringType, nullable = false),
+      StructField("phash", LongType, nullable = false)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
+    val imgs = media.select(col("media_ref"), col("bytes"))
+    imgs.mapPartitions { rows =>
+      val codec = MediaCodec
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.iterator.map { r =>
+          val bytes = r.getAs[Array[Byte]]("bytes")
+          val px = codec.decodeImageReal(bytes) match {
+            case Some((p, w, h)) =>
+              if (w == decodeW && h == decodeH) p
+              else resizeBilinear(p, w, h, decodeW, decodeH)
+            case None => codec.decodeImage(
+              if (bytes == null) Array.emptyByteArray else bytes, decodeW, decodeH)
+          }
+          Row(r.getString(0), aHash64(px, decodeW, decodeH))
+        }
+      }
+    }(enc)
+  }
+
   /** Near-duplicate media pairs by perceptual hash: signatures that agree
     * on at least one of four 16-bit chunks (pigeonhole: full recall for
     * Hamming ≤ 3) become candidates via a chunk equi-join — never
@@ -207,8 +338,16 @@ object Multimodal {
     * shuffle carries (ref, 64-bit sig) only: the image-dedup twin of
     * Dedup.simHashPairs. */
   def mediaNearDupPairs(media: DataFrame, maxHamming: Int = 3,
-                        decodeW: Int = 16, decodeH: Int = 16): DataFrame = {
-    val sigs = perceptualHashes(media, decodeW, decodeH)
+                        decodeW: Int = 16, decodeH: Int = 16): DataFrame =
+    nearDupPairsFromSigs(perceptualHashes(media, decodeW, decodeH), maxHamming)
+
+  /** [[mediaNearDupPairs]] over REAL decoded bytes (q_media_real gate). */
+  def mediaNearDupPairsReal(media: DataFrame, maxHamming: Int = 3,
+                            decodeW: Int = 16, decodeH: Int = 16): DataFrame =
+    nearDupPairsFromSigs(perceptualHashesReal(media, decodeW, decodeH), maxHamming)
+
+  /** Chunk-LSH pair search over any (media_ref, phash) signature table. */
+  def nearDupPairsFromSigs(sigs: DataFrame, maxHamming: Int): DataFrame = {
     val chunks = sigs.select(col("media_ref"), col("phash"),
       explode(array((0 until 4).map { c =>
         struct(lit(c).as("chunk"),
@@ -262,6 +401,39 @@ object Multimodal {
           while (i < end) { acc += pcm(i) * pcm(i); i += 1 }
           val rms = math.sqrt(acc / frameN)
           Row(r.getString(0), w, (w.toLong * hopMs), rms.toFloat, rms < silenceRms)
+        }
+      }
+    }(enc)
+  }
+
+  /** Audio energy per window from REAL WAV bytes (javax.sound decode),
+    * emitted as an exact Q30 integer — energy_q30 = Σ v_i² over the
+    * window, where v_i are the raw PCM16 samples' dyadic floats
+    * (v/32768f): every term is k/2³⁰ with k ≤ 2³⁰, so the double sum is
+    * exact and round(acc·2³⁰) recovers the integer Σ v². This is the
+    * oracle-able surface of the real audio path (q_media_audio gate);
+    * rows that fail to decode are dropped. */
+  def audioEnergyQ30(media: DataFrame, frameN: Int, hopN: Int): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_ref", StringType, nullable = false),
+      StructField("win_idx", IntegerType, nullable = false),
+      StructField("energy_q30", LongType, nullable = false)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
+    val audio = media.select(col("media_ref"), col("bytes"))
+    audio.mapPartitions { rows =>
+      val codec = MediaCodec
+      rows.flatMap { r =>
+        codec.decodePcmReal(r.getAs[Array[Byte]]("bytes")) match {
+          case None => Iterator.empty
+          case Some((pcm, _)) =>
+            val nWin = if (pcm.length < frameN) 0 else (pcm.length - frameN) / hopN + 1
+            (0 until nWin).iterator.map { w =>
+              var acc = 0.0
+              var i = w * hopN
+              val end = i + frameN
+              while (i < end) { acc += pcm(i).toDouble * pcm(i).toDouble; i += 1 }
+              Row(r.getString(0), w, math.round(acc * 1073741824.0))
+            }
         }
       }
     }(enc)

@@ -336,6 +336,71 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(pairs.map(r => (r.getString(0), r.getString(1))).toSet == brute)
   }
 
+  test("multimodal: REAL PNG codec roundtrips pixels and hashes exactly") {
+    import Multimodal.MediaCodec
+    // arbitrary gray image: encode -> decode is pixel-exact (PNG lossless)
+    val px = Array.tabulate(16 * 16)(i => (i * 37 + 11) % 256)
+    val bytes = MediaCodec.encodePng(px, 16, 16)
+    val Some((back, w, h)) = MediaCodec.decodeImageReal(bytes)
+    assert(w == 16 && h == 16)
+    (0 until 256).foreach(i => assert(back(i) == px(i) / 255.0f))
+    // garbage bytes: real decode refuses, pipeline falls back to synthetic
+    assert(MediaCodec.decodeImageReal(Array[Byte](1, 2, 3)).isEmpty)
+    assert(MediaCodec.decodeImageReal(null).isEmpty)
+
+    // the q_media_real construction end-to-end: binary 8x8 images through
+    // real encode/decode/aHash; hash must equal the integer formula and
+    // planted 2-pixel variants must pair at hamming 2
+    import spark.implicits._
+    def ones(id: Long, variant: Boolean): Set[Int] =
+      (1 until 64).filter(i => (id * 31 + i * 17) % 5 < 2 &&
+        !(variant && (i == 9 || i == 18))).toSet
+    val rows = (0L until 40L).map { id =>
+      val p = Array.tabulate(64)(i => if (ones(id, variant = false)(i)) 255 else 0)
+      ("m" + id, MediaCodec.encodePng(p, 8, 8))
+    } ++ (0L until 40L by 5).map { id =>
+      val p = Array.tabulate(64)(i => if (ones(id, variant = true)(i)) 255 else 0)
+      ("v" + id, MediaCodec.encodePng(p, 8, 8))
+    }
+    val media = rows.toDF("media_ref", "bytes")
+    val sigs = Multimodal.perceptualHashesReal(media, 8, 8).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    def expectedHash(id: Long, variant: Boolean): Long =
+      ones(id, variant).foldLeft(0L)((acc, i) => acc | (1L << (63 - i)))
+    (0L until 40L).foreach { id =>
+      assert(sigs("m" + id) == expectedHash(id, variant = false), s"m$id") }
+    (0L until 40L by 5).foreach { id =>
+      assert(sigs("v" + id) == expectedHash(id, variant = true), s"v$id") }
+    val pairs = Multimodal.mediaNearDupPairsReal(media, maxHamming = 3, 8, 8)
+      .collect().map(r => ((r.getString(0), r.getString(1)), r.getInt(2))).toMap
+    (0L until 40L by 5).foreach { id =>
+      val expected = (ones(id, variant = false) -- ones(id, variant = true)).size
+      assert(pairs.get(("m" + id, "v" + id)).contains(expected), s"pair m$id/v$id")
+    }
+  }
+
+  test("multimodal: REAL WAV codec roundtrips samples; Q30 energies exact") {
+    import Multimodal.MediaCodec
+    val pcm = Array.tabulate[Short](1200)(i => (((7L + i * 13) % 201) - 100).toShort)
+    val wav = MediaCodec.encodeWavPcm16(pcm, 16000)
+    val Some((back, rate)) = MediaCodec.decodePcmReal(wav)
+    assert(rate == 16000 && back.length == 1200)
+    (0 until 1200).foreach(i => assert(back(i) == pcm(i) / 32768.0f))
+    assert(MediaCodec.decodePcmReal(Array[Byte](9, 9, 9)).isEmpty)
+
+    import spark.implicits._
+    val media = Seq(("a1", wav)).toDF("media_ref", "bytes")
+    val wins = Multimodal.audioEnergyQ30(media, frameN = 400, hopN = 400)
+      .collect().map(r => (r.getInt(1), r.getLong(2))).toMap
+    assert(wins.keySet == Set(0, 1, 2))
+    (0 until 3).foreach { w =>
+      val expected = (0 until 400).map { i =>
+        val v = ((7L + (w * 400 + i) * 13) % 201) - 100; v * v
+      }.sum
+      assert(wins(w) == expected, s"window $w")
+    }
+  }
+
   test("multimodal: audio energy windows and silence flags") {
     val d = graft.sources.DocSource.docs(spark, 300L)
     val media = Multimodal.mediaTable(d).limit(10).cache()
