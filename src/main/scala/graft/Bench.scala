@@ -20,7 +20,8 @@ object Bench {
   private val headline = Seq(
     "q1_agg", "q_s2_rect_join", "q_s2_pip_join", "q_s2_knn",
     "q_s2_tile_assign", "q_s2_term_join", "q_dedup_minhash", "q_ann_topk",
-    "q_text_stats", "q_closest_shapes_1k", "q_knn_10k_targets", "q_knn_large")
+    "q_text_stats", "q_closest_shapes_1k", "q_knn_10k_targets", "q_knn_large",
+    "q_s2_sql_join", "q_media_real")
 
   /** Bench-only heavy-operator queries (not driver-gated: a 10^3-shape
     * oracle would be megabytes of SQL; correctness is covered by the
@@ -205,6 +206,20 @@ object Bench {
       else if (s.size % 2 == 1) s(s.size / 2)
       else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
     }
+    // Outlier rejection (round-3 verdict item 2): the reps run IDENTICAL
+    // deterministic work on an identical page-cache-resident input, so a
+    // rep several times slower than the level's best measures a vCPU-steal
+    // or writeback interval, not the engine — r03's artifact recorded a
+    // 41 s rep against 1.3-5.5 s siblings and a plain median could not
+    // reject 3 contaminated reps out of 8. Rule: drop reps > 2.5x the
+    // level's best (the best itself is always kept, so a fully-noisy
+    // level degrades to best-of rather than failing). Both the kept and
+    // rejected reps are recorded in the artifact.
+    val outlierFactor = 2.5
+    def rejectOutliers(xs: Seq[Double]): (Seq[Double], Seq[Double]) = {
+      val best = xs.min
+      xs.partition(_ <= outlierFactor * best)
+    }
 
     val lowCores = math.max(1, cpus / 4)
     // 4 rounds (8 reps/level): the extra round costs ~80 s but visibly
@@ -251,26 +266,142 @@ object Bench {
       }
     }
 
-    val tHi = median(repsHi.toSeq)
-    val tLo = median(repsLo.toSeq)
+    val (keptHi, rejHi) = rejectOutliers(repsHi.toSeq)
+    val (keptLo, rejLo) = rejectOutliers(repsLo.toSeq)
+    val tHi = median(keptHi)
+    val tLo = median(keptLo)
     val speedup = tLo / tHi
     val ratio = cpus.toDouble / lowCores
     val efficiency = speedup / ratio
     val hwSpeedup = median(ceilHi.toSeq) / median(ceilLo.toSeq)
     val normEfficiency = if (hwSpeedup > 0) speedup / hwSpeedup else efficiency
+
+    // ---- phase 3: skew-join A/B + kNN fixed-cost amortization ----
+    // (round-3 verdict items 3 and 4: prove the salted term join beats
+    // the unsalted plan on clustered data, and that the heavy kNN
+    // entries' fixed costs amortize — docs/sec RISES with input size.)
+    val spark3 = session(cpus)
+    import org.apache.spark.sql.DataFrame
+    def timed(f: => Long): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    def geoDocs(n: Long, clusterFrac: Double = 0.8, nClusters: Int = 20): DataFrame = {
+      val d = S2Joins.withCellId(
+        DocSource.docs(spark3, n, nClusters = nClusters, clusterFrac = clusterFrac)
+          .select("doc_id", "lat", "lng"),
+        col("lat"), col("lng")).cache()
+      d.count() // materialize: generation is not part of the measured job
+      d
+    }
+    // skew A/B: the reference's motivating skew case — one continent
+    // polygon whose coarse covering terms are shared by a large doc
+    // fraction. On one box wall-clock is explode/CPU-dominated; what
+    // salting changes is the REDUCER balance of the candidate equi-join
+    // shuffle, which on a 1000-executor cluster IS the straggler tail.
+    // The phase therefore forces the at-scale join shape — broadcast off
+    // (a 100 TB region side doesn't broadcast), AQE off (its skew-split
+    // backstop would mask our salting), 256 shuffle partitions
+    // (cluster-representative task counts) — and records wall plus the
+    // heaviest shuffle stage's max/median per-task shuffle-read ratio.
+    val skewDocsN = sys.env.getOrElse("SPARK_GRAFT_SKEW_DOCS", "4000000").toLong
+    val skewJson = {
+      import spark3.implicits._
+      val stageReads = new java.util.concurrent.ConcurrentHashMap[Int, java.util.Vector[Long]]()
+      spark3.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          val m = te.taskMetrics
+          if (m != null && m.shuffleReadMetrics.totalBytesRead > 0) stageReads
+            .computeIfAbsent(te.stageId, _ => new java.util.Vector[Long]())
+            .add(m.shuffleReadMetrics.totalBytesRead)
+        }
+      })
+      def heaviestStageRatio(): Double = {
+        import scala.jdk.CollectionConverters._
+        val heaviest = stageReads.asScala.values.maxBy(_.asScala.map(_.toDouble).sum)
+        val xs = heaviest.asScala.map(_.toDouble).toSeq.sorted
+        xs.last / xs(xs.size / 2)
+      }
+      val saved = Seq("spark.sql.adaptive.enabled",
+        "spark.sql.autoBroadcastJoinThreshold", "spark.sql.shuffle.partitions")
+        .map(k => k -> spark3.conf.get(k))
+      spark3.conf.set("spark.sql.adaptive.enabled", "false")
+      spark3.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark3.conf.set("spark.sql.shuffle.partitions", "256")
+      val docs = geoDocs(skewDocsN, clusterFrac = 0.9, nClusters = 2)
+      val polys = Seq((1,
+        "-20.005:-150.005, -20.005:10.005, 60.005:10.005, 60.005:-150.005"))
+        .toDF("qid", "poly")
+      def run(threshold: Long): (Double, Double) = {
+        stageReads.clear()
+        val sec = timed(S2Joins.termPolygonJoin(docs, polys,
+          saltThreshold = threshold, saltSampleFraction = 0.01).count())
+        (sec, heaviestStageRatio())
+      }
+      run(0L) // warmup (JIT, shuffle files) — unsalted shape
+      val (u1, ur) = run(0L); val (u2, _) = run(0L)
+      val (s1, sr) = run(100000L); val (s2, _) = run(100000L)
+      val unsalted = math.min(u1, u2); val salted = math.min(s1, s2)
+      docs.unpersist()
+      saved.foreach { case (k, v) => spark3.conf.set(k, v) }
+      s"""{"docs":$skewDocsN,"shuffle_partitions":256,"broadcast":"off","aqe":"off",""" +
+        s""""unsalted_sec":$unsalted,"salted_sec":$salted,""" +
+        s""""unsalted_max_over_median_read":$ur,"salted_max_over_median_read":$sr,""" +
+        s""""balance_improvement":${ur / sr}}"""
+    }
+    // kNN amortization: fixed query shape, rising doc count; fixed costs
+    // (driver ring-index build, JIT, ladder round scheduling) amortize,
+    // so docs/sec should RISE with size (sub-linear wall growth). Docs
+    // are AREA-UNIFORM here: the broadcast path's per-doc cost is
+    // density-local either way, but the ladder's candidate sets on
+    // clustered data are a density property, not a fixed-cost one — the
+    // uniform table isolates what this phase is meant to prove.
+    val knnScaleJson = {
+      val rnd = new scala.util.Random(5)
+      val targets10k = (0 until 10000).map { i =>
+        (i, graft.core.V3.fromLatLngDegrees(
+          rnd.nextDouble() * 170 - 85, rnd.nextDouble() * 360 - 180))
+      }
+      def knn10kAt(n: Long): String = {
+        val docs = geoDocs(n, clusterFrac = 0.0)
+        S2Joins.knnJoin(docs, targets10k.take(500), k = 3).count() // warm JIT
+        val sec = timed(S2Joins.knnJoin(docs, targets10k, k = 3).count())
+        docs.unpersist()
+        s"""{"docs":$n,"sec":$sec,"docs_per_sec":${n / sec}}"""
+      }
+      def knnLargeAt(n: Long): String = {
+        val docs = geoDocs(n, clusterFrac = 0.0)
+        val step = math.max(1L, n / 2000) // ~2k targets at every size
+        val targets = docs.where(col("doc_id").substr(4, 9).cast("long") % step === 0)
+          .select(col("doc_id").substr(4, 9).cast("int").as("qid"),
+            (col("lat") * 0.97).as("t_lat"), (col("lng") * 0.97).as("t_lng"))
+        val sec = timed(
+          S2Joins.knnJoinLarge(docs, targets, k = 5, radii = Seq(0.1, 0.4)).count())
+        docs.unpersist()
+        s"""{"docs":$n,"sec":$sec,"docs_per_sec":${n / sec}}"""
+      }
+      val base = sys.env.getOrElse("SPARK_GRAFT_KNN_SCALE_BASE", "1000000").toLong
+      val k10 = Seq(base, 2 * base, 4 * base).map(knn10kAt)
+      val kLg = Seq(base / 2, base, 2 * base).map(knnLargeAt)
+      s"""{"knn_10k":[${k10.mkString(",")}],"knn_large":[${kLg.mkString(",")}]}"""
+    }
+    spark3.stop()
+
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     def arr(xs: Seq[Double]): String = xs.mkString("[", ",", "]")
     val pipelineJson =
       s"""{"docs":$benchDocs,"matched":$matched,"cores_hi":$cpus,"cores_lo":$lowCores,""" +
-      s""""protocol":"interleaved ${rounds}x$repsPerRound median","sec_hi":$tHi,"sec_lo":$tLo,""" +
+      s""""protocol":"interleaved ${rounds}x$repsPerRound median, reject > ${outlierFactor}x level best",""" +
+      s""""sec_hi":$tHi,"sec_lo":$tLo,""" +
       s""""sec_hi_best":${repsHi.min},"sec_lo_best":${repsLo.min},""" +
       s""""reps_hi":${arr(repsHi.toSeq)},"reps_lo":${arr(repsLo.toSeq)},""" +
+      s""""reps_hi_rejected":${arr(rejHi)},"reps_lo_rejected":${arr(rejLo)},""" +
       s""""docs_per_sec_hi":${benchDocs / tHi},"docs_per_sec_lo":${benchDocs / tLo},""" +
       s""""speedup":$speedup,"scaling_efficiency":$efficiency,""" +
       s""""hw_ceiling_speedup":$hwSpeedup,"scaling_efficiency_vs_hw":$normEfficiency}"""
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-      s""""pipeline":$pipelineJson,"sf":"$sfDir"}""")
+      s""""pipeline":$pipelineJson,"skew_join":$skewJson,"knn_scale":$knnScaleJson,""" +
+      s""""sf":"$sfDir"}""")
   }
 }

@@ -46,7 +46,25 @@ import graft.functions._
   * optimization fixpoint) or `spark.experimental.extraOptimizations`
   * (runs as the final optimizer batch; same plan, minus a late
   * column-pruning pass that rarely matters because the original join
-  * already pruned to the columns the condition and output need). */
+  * already pruned to the columns the condition and output need).
+  *
+  * Consciously NOT rewritten (each is unsound without extra machinery):
+  *
+  *  - LeftSemi/LeftAnti (`WHERE [NOT] EXISTS`): the point side must
+  *    explode ~13 ancestor terms, so a semi join over the exploded child
+  *    emits up to 13 copies of a matching row. Collapsing them back
+  *    needs a per-row identity; `monotonically_increasing_id()` is
+  *    non-deterministic across the two plan branches that would need it,
+  *    and a materialization barrier is not a logical-rule's call to
+  *    make. Users with an EXISTS-shaped query get the same plan by
+  *    rewriting it as an inner join + `dropDuplicates(id)`, or via
+  *    [[graft.operators.S2Joins.termPolygonJoin]].
+  *  - region×region `s2_intersects`: the two-sided term scheme can give
+  *    one intersecting pair SEVERAL shared terms (covering cells at
+  *    different levels), so the inner rewrite inflates multiplicity;
+  *    deduping again needs row identity. The Scala API
+  *    ([[graft.operators.RegionJoins.intersectsJoin]]) requires id
+  *    columns for exactly this reason. */
 object S2SpatialJoinRule extends Rule[LogicalPlan] {
 
   private def conjuncts(e: Expression): Seq[Expression] = e match {

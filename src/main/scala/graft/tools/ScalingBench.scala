@@ -103,7 +103,11 @@ object ScalingBench {
       }
     }
 
-    val t8 = median(repsLo.toSeq); val t32 = median(repsHi.toSeq)
+    // reject interval-contaminated reps (identical deterministic work:
+    // > 2.5x the level's best is steal/writeback, not workload) — same
+    // rule as graft.Bench's artifact of record
+    def keep(xs: Seq[Double]): Seq[Double] = xs.filter(_ <= 2.5 * xs.min)
+    val t8 = median(keep(repsLo.toSeq)); val t32 = median(keep(repsHi.toSeq))
     val hwSpeedup = median(ceilHi.toSeq) / median(ceilLo.toSeq)
     val speedup = t8 / t32
     val eff = speedup / 4.0
