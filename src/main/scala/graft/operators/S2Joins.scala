@@ -587,8 +587,17 @@ object S2Joins {
       val chord2 = S1ChordAngle.fromRadians(r)
       val q = unsatisfied.withColumn("term",
         explode(capTerms(col(tLatCol), col(tLngCol), lit(r))))
+      // No (qid, doc) dedup needed: a point doc's index terms are plain
+      // ancestor tokens, and the only plain tokens a cap query emits are
+      // its covering cells — a normalized DISJOINT union, of which at
+      // most one lies on the doc's ancestor chain, so each (target, doc)
+      // candidate pair arrives exactly once (same invariant
+      // S2SpatialJoinRule relies on; fuzz-tested in TermSchemeSpec).
+      // Skipping the dedup also lets Spark's WindowGroupLimit rewrite
+      // run the rank filter map-side: each input task forwards at most k
+      // rows per target into the window exchange, so the shuffled volume
+      // is O(tasks × targets × k), independent of candidate count.
       val cands = docTerms.join(q, "term").drop("term")
-        .dropDuplicates(qidCol, idCol)
         .withColumn("dist2", dist2(col(tLatCol), col(tLngCol), col(latCol), col(lngCol)))
         .withColumn("rank", row_number().over(w))
         .where(col("rank") <= k)
