@@ -144,8 +144,11 @@ object S2Joins {
       else Skew.saltedTermJoin(d, q, "term", col("doc_id"), salts)
     val matches = joined
       .drop("term")
-      // a doc can match a region through several terms → dedupe, then refine
-      .dropDuplicates("doc_id", qidCol)
+      // no (doc, qid) dedup: a point doc's plain ancestor tokens meet a
+      // region query's plain tokens (its DISJOINT covering cells) at most
+      // once, so each candidate pair arrives exactly once — the invariant
+      // S2SpatialJoinRule proves and TermSchemeSpec fuzz-tests. Dropping
+      // the dedup removes a full shuffle of the candidate set.
       .where(S2.polygonContains(col(polyTextCol), col("lat"), col("lng")))
       .select(col("doc_id"), col(qidCol))
     docs.join(matches, "doc_id")
