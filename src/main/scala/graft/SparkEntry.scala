@@ -43,6 +43,16 @@ object SparkEntry {
     (1, V3(0.6687229900727684, 0.023352321390163445, 0.7431448254773942), 0.00639658739476123),
     (2, V3(-0.7335178065228575, 0.40659555955740095, -0.5446390350150271), 0.002499479210067507),
     (3, V3(0.2111504647396207, -0.7363691805566739, 0.6427876096865393), 0.014382728292267494))
+  // directed edge soups whose maximal-walk decomposition exercises the
+  // Builder polyline layer: a chain + an isolated edge (g1), a closed
+  // 3-cycle (g2), a Y-branch (g3) — assembly output is deterministic
+  // (lex order) regardless of row arrival order
+  private val polylineSoup: Seq[(Int, Double, Double, Double, Double)] = Seq(
+    (1, 0.0, 0.0, 0.0, 1.0), (1, 0.0, 1.0, 0.0, 2.0), (1, 5.0, 5.0, 5.0, 6.0),
+    (2, 10.0, 10.0, 10.0, 11.0), (2, 10.0, 11.0, 11.0, 11.0),
+    (2, 11.0, 11.0, 10.0, 10.0),
+    (3, 20.0, 20.0, 20.0, 21.0), (3, 20.0, 21.0, 21.0, 22.0),
+    (3, 20.0, 21.0, 19.0, 22.0))
   private val rects = Seq( // (rid, latLo, lngLo, latHi, lngHi), .005 offsets
     (1, -25.005, 100.005, 5.005, 140.005),
     (2, 10.005, -80.005, 60.005, -10.005),
@@ -1136,6 +1146,29 @@ object SparkEntry {
         .select(col("cid"), S2.token(col("cell")).as("cell_token"))
     }),
 
+    "q_s2_simple_covering" -> ((s, dir) => {
+      // flood-fill covering at a fixed level, seeded at each cap's center
+      // (GetSimpleCovering) — kernel-golden VALUES oracle
+      import s.implicits._
+      caps.toDF("cid", "center", "radius2")
+        .select(col("cid"),
+          explode(S2.capSimpleCoveringUdf(
+            degrees(asin(col("center.z"))),
+            degrees(atan2(col("center.y"), col("center.x"))),
+            lit(2.0) * asin(sqrt(col("radius2")) / 2.0),
+            lit(6))).as("cell"))
+        .select(col("cid"), S2.token(col("cell")).as("cell_token"))
+    }),
+
+    "q_s2_polyline_layers" -> ((s, dir) => {
+      // Builder polyline layer: distributed maximal-walk assembly of a
+      // directed edge soup, one group per layer — kernel-golden VALUES
+      import s.implicits._
+      val edges = polylineSoup.toDF("g", "lat_a", "lng_a", "lat_b", "lng_b")
+      Builder.assemblePolylinesDf(edges, "g", "lat_a", "lng_a", "lat_b", "lng_b")
+        .select(col("group").as("grp"), col("idx"), col("polyline"))
+    }),
+
     "q_s2_tile_assign" -> ((s, dir) => {
       // 24 tiles = level-2 cells round-robin (S2RegionSharder semantics)
       val level2 = Iterator.iterate(S2CellId.begin(2))(S2CellId.next)
@@ -1467,6 +1500,25 @@ object SparkEntry {
       new S2RegionCoverer(8, 0, 30)
         .getCovering(S2Cap.fromCenterAngle(V3.fromLatLngDegrees(lat, lng), radius))
         .map(cell => s"($cid, '${S2CellId.toToken(cell)}')")
+    }.mkString(", ")
+    val simpleCoverGold = caps.flatMap { case (cid, c, r2) =>
+      // identical arithmetic to the q_s2_simple_covering column expressions
+      val lat = math.toDegrees(math.asin(c.z))
+      val lng = math.toDegrees(math.atan2(c.y, c.x))
+      val radius = 2.0 * math.asin(math.sqrt(r2) / 2.0)
+      val ctr = V3.fromLatLngDegrees(lat, lng)
+      S2RegionCoverer.simpleCovering(S2Cap.fromCenterAngle(ctr, radius), ctr, 6)
+        .map(cell => s"($cid, '${S2CellId.toToken(cell)}')")
+    }.mkString(", ")
+    val polylineLayersGold = polylineSoup.groupBy(_._1).toSeq.flatMap {
+      case (g, es) =>
+        val edges = es.map(e => (V3.fromLatLngDegrees(e._2, e._3),
+          V3.fromLatLngDegrees(e._4, e._5)))
+        Builder.assemblePolylines(edges).zipWithIndex.map { case (chain, i) =>
+          val txt = chain.map(p =>
+            s"${V3.latDegrees(p)}:${V3.lngDegrees(p)}").mkString(", ")
+          s"('$g', $i, '$txt')"
+        }
     }.mkString(", ")
     val (langScoreCols, langPredExpr) = TextAnalysis.langIdSqlParts("text")
 
@@ -2195,6 +2247,14 @@ object SparkEntry {
       "q_s2_covering" -> s"""
         SELECT CAST(cid AS INTEGER) AS cid, cell_token
         FROM (VALUES $coverGold) t(cid, cell_token)""",
+
+      "q_s2_simple_covering" -> s"""
+        SELECT CAST(cid AS INTEGER) AS cid, cell_token
+        FROM (VALUES $simpleCoverGold) t(cid, cell_token)""",
+
+      "q_s2_polyline_layers" -> s"""
+        SELECT grp, CAST(idx AS INTEGER) AS idx, polyline
+        FROM (VALUES $polylineLayersGold) t(grp, idx, polyline)""",
 
       "q_geom_validation" -> """
         SELECT verdict, count(*) AS cnt FROM (

@@ -71,6 +71,14 @@ object S2 {
                   maxCells: Int = 8, minLevel: Int = 0, maxLevel: Int = 30): Column =
     capCoveringUdf(lat, lng, radiusRad, lit(maxCells), lit(minLevel), lit(maxLevel))
 
+  /** Fixed-level BFS "simple covering" of a cap, flood-filled outward from
+    * the cell containing its center (s2region_coverer.cc:488-516). */
+  val capSimpleCoveringUdf = udf { (lat: Double, lng: Double,
+                                    radiusRad: Double, level: Int) =>
+    val c = V3.fromLatLngDegrees(lat, lng)
+    S2RegionCoverer.simpleCovering(S2Cap.fromCenterAngle(c, radiusRad), c, level)
+  }
+
   /** Covering of a polygon in the reference text format
     * ("lat:lng, lat:lng, …"; loops joined by ';'). */
   val polygonCoveringUdf = udf { (polyText: String, maxCells: Int,
