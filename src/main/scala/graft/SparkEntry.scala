@@ -1169,6 +1169,70 @@ object SparkEntry {
         .select(col("group").as("grp"), col("idx"), col("polyline"))
     }),
 
+    "q_stream_density" -> ((s, dir) => {
+      // REAL Structured Streaming inside the driver gate: watermarked
+      // tumbling-window cell density over a deterministic 4-micro-batch
+      // MemoryStream in APPEND mode. Planted late rows (window end far
+      // behind the watermark) are dropped; two sentinel batches push the
+      // watermark past every real window so exactly the real windows
+      // flush to the sink, and the sentinels' own window never closes.
+      // Oracle = plain GROUP BY over the same rows minus the planted-late
+      // ones (cell ids via the kernel-golden level-4 VALUES).
+      import s.implicits._
+      implicit val sq = s.sqlContext
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import org.apache.spark.sql.streaming.OutputMode
+      val baseMs = 1767225600000L // 2026-01-01T00:00:00Z
+      def row(id: Long, minute: Double): (Long, java.sql.Timestamp, Double, Double) =
+        (id, new java.sql.Timestamp(baseMs + (minute * 60000L).toLong),
+          (id * 7919 % 17000) / 100.0 - 85.0, (id * 104729 % 36000) / 100.0 - 180.0)
+      val ids = s.read.parquet(s"$dir/documents.parquet")
+        .select("doc_id").where(col("doc_id") < 500)
+        .collect().map(_.getLong(0)).sorted.toSeq
+      val mem = MemoryStream[(Long, java.sql.Timestamp, Double, Double)]
+      val stream = graft.streaming.StreamOps.withCellId(
+        mem.toDF().toDF("doc_id", "ts", "lat", "lng"), "lat", "lng")
+      val dens = graft.streaming.StreamOps.streamingCellDensity(
+        stream, level = 4, tsCol = "ts", window = "10 minutes",
+        lateness = "10 minutes")
+      val sink = "q_stream_density_sink"
+      val q = dens.writeStream.format("memory").queryName(sink)
+        .outputMode(OutputMode.Append()).start()
+      try {
+        // batch 1: even ids, minutes [30,40) -> watermark 39-10 = 29 min
+        mem.addData(ids.filter(_ % 2 == 0).map(id => row(id, 30 + (id % 10).toDouble)))
+        q.processAllAvailable()
+        // batch 2: odd ids, minutes [40,50), plus two late rows whose
+        // window [0,10) closed at watermark 29 min -> dropped
+        mem.addData(ids.filter(_ % 2 == 1).map(id => row(id, 40 + (id % 10).toDouble))
+          ++ Seq(row(1000007L, 5.0), row(1000013L, 5.0)))
+        q.processAllAvailable()
+        mem.addData(Seq(row(9999998L, 10000.0)))
+        q.processAllAvailable()
+        mem.addData(Seq(row(9999999L, 10000.5))) // same sentinel window
+        q.processAllAvailable()
+      } finally q.stop()
+      val out = s.table(sink)
+        .select(unix_timestamp(col("window.start")).as("win_start"),
+          S2.token(col("cell")).as("cell_token"), col("weight"))
+        .cache()
+      out.count()
+      out
+    }),
+
+    "q_s2_layer_stack" -> ((s, dir) => {
+      // general S2Builder layer stack, one stack per row, distributed as
+      // a deterministic UDF kernel: a quad polygon layer + a diagonal
+      // polyline layer share ONE CellIdSnapFunction snap pass (shared
+      // snapped sites at the coincident corners) — kernel-golden oracle
+      import s.implicits._
+      val stackUdf = udf(Builder.layerStackKernel _)
+      (0 until 8).toDF("i")
+        .select(col("i"), stackUdf(col("i")).as("r"))
+        .select(col("i"), col("r").getItem(0).as("polygon"),
+          col("r").getItem(1).as("polylines"))
+    }),
+
     "q_s2_tile_assign" -> ((s, dir) => {
       // 24 tiles = level-2 cells round-robin (S2RegionSharder semantics)
       val level2 = Iterator.iterate(S2CellId.begin(2))(S2CellId.next)
@@ -1519,6 +1583,10 @@ object SparkEntry {
             s"${V3.latDegrees(p)}:${V3.lngDegrees(p)}").mkString(", ")
           s"('$g', $i, '$txt')"
         }
+    }.mkString(", ")
+    val layerStackGold = (0 until 8).map { i =>
+      val r = Builder.layerStackKernel(i)
+      s"($i, '${r(0)}', '${r(1)}')"
     }.mkString(", ")
     val (langScoreCols, langPredExpr) = TextAnalysis.langIdSqlParts("text")
 
@@ -2247,6 +2315,19 @@ object SparkEntry {
       "q_s2_covering" -> s"""
         SELECT CAST(cid AS INTEGER) AS cid, cell_token
         FROM (VALUES $coverGold) t(cid, cell_token)""",
+
+      "q_stream_density" -> s"""
+        SELECT CAST(1767225600 + (CASE WHEN d.doc_id % 2 = 0 THEN 1800
+                                       ELSE 2400 END) AS BIGINT) AS win_start,
+               v.cell_token, CAST(count(*) AS BIGINT) AS weight
+        FROM documents d
+        JOIN (VALUES $l4Gold500) v(doc_id, cell_token) ON d.doc_id = v.doc_id
+        WHERE d.doc_id < 500
+        GROUP BY 1, 2""",
+
+      "q_s2_layer_stack" -> s"""
+        SELECT CAST(i AS INTEGER) AS i, polygon, polylines
+        FROM (VALUES $layerStackGold) t(i, polygon, polylines)""",
 
       "q_s2_simple_covering" -> s"""
         SELECT CAST(cid AS INTEGER) AS cid, cell_token

@@ -380,4 +380,33 @@ object Builder {
         }
       }(enc)
   }
+
+  /** Deterministic two-layer stack kernel for the driver gate
+    * `q_s2_layer_stack`: a quad polygon layer plus a corner-to-corner
+    * diagonal polyline layer, snapped in ONE shared CellIdSnap(10) pass
+    * (the coincident corners become shared snapped sites, and each
+    * layer's edges split at every layer's sites). Output = the assembled
+    * polygon's loops ("lat:lng, …" joined by "; ") and the assembled
+    * chains (joined by " | "). */
+  def layerStackKernel(i: Int): Array[String] = {
+    val b = 10.0 + 3.0 * i
+    def p(lat: Double, lng: Double) = V3.fromLatLngDegrees(lat, lng)
+    val quad = Seq((p(b, b), p(b, b + 2)), (p(b, b + 2), p(b + 2, b + 2)),
+      (p(b + 2, b + 2), p(b + 2, b)), (p(b + 2, b), p(b, b)))
+    val line = Seq((p(b, b), p(b + 2, b + 2)))
+    val rs = buildLayers(Seq(Layer.Polygon(quad), Layer.Polylines(line)),
+      SnapFunction.CellIdSnap(10))
+    def fmt(v: V3) = s"${V3.latDegrees(v)}:${V3.lngDegrees(v)}"
+    val poly = rs.head match {
+      case LayerResult.PolygonResult(pg) =>
+        pg.loops.map(l => l.vertices.map(fmt).mkString(", ")).mkString("; ")
+      case _ => ""
+    }
+    val lines = rs(1) match {
+      case LayerResult.PolylinesResult(cs) =>
+        cs.map(c => c.map(fmt).mkString(", ")).mkString(" | ")
+      case _ => ""
+    }
+    Array(poly, lines)
+  }
 }
