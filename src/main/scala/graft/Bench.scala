@@ -141,43 +141,6 @@ object Bench {
     // ~0.35 s fixed per-job cost bought.
     val benchDocs = sys.env.getOrElse("SPARK_GRAFT_BENCH_DOCS", "192000000").toLong
 
-    // ---- phase 1: headline queries at full parallelism ----
-    var spark = session(cpus)
-    // warmup (JIT + codegen caches) on the small SF
-    try SparkEntry.queries("q1_agg")(spark, sfDir).count() catch { case _: Throwable => }
-    // best-of-2 per query: the first rep doubles as that query's own JIT /
-    // codegen / shuffle-file warmup, and the min removes one-sided
-    // interval contamination that a single timed rep is fully exposed to
-    // (the q1_agg warmup above only covers scan+agg kernels).
-    val results = headline.map { name =>
-      val fn = SparkEntry.queries.getOrElse(name, extraQueries(name))
-      def once(): Double = {
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        (System.nanoTime() - t0) / 1e9
-      }
-      val r1 = once()
-      name -> math.min(r1, once())
-    }
-
-    // ---- phase 2: flagship pipeline, interleaved lo/hi protocol ----
-    // Round-1 protocol (best-of-2, all hi-core reps measured before any
-    // lo-core rep) was maximally exposed to interval noise: this VM shows
-    // vCPU steal/turbo swings and, right after materializing the input,
-    // dirty-page writeback that can slow the first measured session 4x.
-    // Rework (VERDICT round-1 item 1): explicit page-cache warm before any
-    // timing, then ROUNDS alternating sessions at lo/hi cores (order
-    // flipped each round) with REPS timed reps per session, so any noise
-    // interval hits both levels symmetrically; report the MEDIAN per level
-    // (best + all reps kept in the JSON).
-    val docsPath = Bench.docsPath(benchDocs)
-    if (!new java.io.File(s"$docsPath/_SUCCESS").exists())
-      materializeDocs(spark, benchDocs, docsPath)
-    // warm the page cache on the columns the pipeline reads (untimed);
-    // also flushes any writeback from a fresh materialize out of the way
-    spark.read.parquet(docsPath).agg(sum(col("lat") + col("lng"))).head()
-    spark.stop()
-
     // pure-CPU thread-scaling ceiling measured adjacent to each session:
     // this VM's vCPUs show steal/turbo variance, so raw 4x is unattainable
     // by any workload; efficiency is also reported normalized to the
@@ -200,6 +163,51 @@ object Bench {
       ts.foreach(_.start()); ts.foreach(_.join())
       threads * per / ((System.nanoTime() - t0) / 1e9)
     }
+
+    // ---- phase 1: headline queries at full parallelism ----
+    var spark = session(cpus)
+    // the headline runs in ONE contiguous interval with no per-query
+    // ceiling normalization (unlike the scaling phase), so a loaded
+    // interval inflates every query; the adjacent probes make that
+    // contamination measurable in the artifact instead of invisible
+    // (compare probe G-ops/s across rounds before reading the queries)
+    val headlineProbeStart = cpuRate(cpus)
+    // warmup (JIT + codegen caches) on the small SF
+    try SparkEntry.queries("q1_agg")(spark, sfDir).count() catch { case _: Throwable => }
+    // best-of-2 per query: the first rep doubles as that query's own JIT /
+    // codegen / shuffle-file warmup, and the min removes one-sided
+    // interval contamination that a single timed rep is fully exposed to
+    // (the q1_agg warmup above only covers scan+agg kernels).
+    val results = headline.map { name =>
+      val fn = SparkEntry.queries.getOrElse(name, extraQueries(name))
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        (System.nanoTime() - t0) / 1e9
+      }
+      val r1 = once()
+      name -> math.min(r1, once())
+    }
+    val headlineProbeEnd = cpuRate(cpus)
+
+    // ---- phase 2: flagship pipeline, interleaved lo/hi protocol ----
+    // Round-1 protocol (best-of-2, all hi-core reps measured before any
+    // lo-core rep) was maximally exposed to interval noise: this VM shows
+    // vCPU steal/turbo swings and, right after materializing the input,
+    // dirty-page writeback that can slow the first measured session 4x.
+    // Rework (VERDICT round-1 item 1): explicit page-cache warm before any
+    // timing, then ROUNDS alternating sessions at lo/hi cores (order
+    // flipped each round) with REPS timed reps per session, so any noise
+    // interval hits both levels symmetrically; report the MEDIAN per level
+    // (best + all reps kept in the JSON).
+    val docsPath = Bench.docsPath(benchDocs)
+    if (!new java.io.File(s"$docsPath/_SUCCESS").exists())
+      materializeDocs(spark, benchDocs, docsPath)
+    // warm the page cache on the columns the pipeline reads (untimed);
+    // also flushes any writeback from a fresh materialize out of the way
+    spark.read.parquet(docsPath).agg(sum(col("lat") + col("lng"))).head()
+    spark.stop()
+
     def median(xs: Seq[Double]): Double = {
       val s = xs.sorted
       if (s.isEmpty) Double.NaN
@@ -231,8 +239,25 @@ object Bench {
     var matched = 0L
     var matchedSet = false
     // one session at `cores`: 1 untimed warmup + repsPerRound timed reps,
-    // hw ceiling sampled adjacent (between warmup and timed reps)
-    def sessionReps(cores: Int): (Seq[Double], Double) = {
+    // hw ceilings sampled adjacent (between warmup and timed reps). TWO
+    // ceiling probes per session — ROOFLINE: the flagship is one fused
+    // pass over the parquet scan of (lat, lng), so its attainable
+    // thread-scaling is bounded by the ALU ceiling on its compute part
+    // AND the scan ceiling (parquet decode + page-cache memory bandwidth,
+    // which saturates near 8 threads on this box: measured scan 8->32
+    // speedup ~1.2x vs ALU 2.7-3.6x). The ALU probe alone overstates the
+    // ceiling on quiet intervals (it approaches 4x while no scan-shaped
+    // job can) — r04 dry runs measured the same build at vs-ALU 0.86
+    // (quiet), 0.83 (loaded), 0.71 (quieter: ALU probe rose to 3.58x
+    // while the job's speedup stayed in its stable 2.5-3.0 band). The
+    // attainable bound composes the MEASURED components serially:
+    //   T_hi_attainable = scan_hi + (T_lo - scan_lo) / alu_speedup
+    // (the scan part cannot beat the measured scan; the rest cannot beat
+    // the ALU ceiling). Serial composition is conservative — the fused
+    // pass overlaps decode with compute, so vs-hw can read > 1; both
+    // component ceilings and scan times are recorded so the bound is
+    // recomputable from the artifact.
+    def sessionReps(cores: Int): (Seq[Double], Double, Double) = {
       val s = session(cores, aqe = false)
       val warm = pipeline(s, docsPath) // warmup (JIT, codegen, broadcast)
       // cross-parallelism equality gate: lo and hi sessions must agree
@@ -244,6 +269,13 @@ object Bench {
       // lingering writeback) worth ~2x on a bad interval
       pipeline(s, docsPath)
       val ceil = cpuRate(cores)
+      def scanOnce(): Double = {
+        val t0 = System.nanoTime()
+        s.read.parquet(docsPath).agg(sum(col("lat") + col("lng"))).head()
+        (System.nanoTime() - t0) / 1e9
+      }
+      scanOnce() // untimed (agg codegen; the decode path is already warm)
+      val scanSec = math.min(scanOnce(), scanOnce())
       val times = (1 to repsPerRound).map { _ =>
         val t0 = System.nanoTime()
         val m = pipeline(s, docsPath)
@@ -251,18 +283,20 @@ object Bench {
         (System.nanoTime() - t0) / 1e9
       }
       s.stop()
-      (times, ceil)
+      (times, ceil, scanSec)
     }
     val repsLo = collection.mutable.ArrayBuffer[Double]()
     val repsHi = collection.mutable.ArrayBuffer[Double]()
     val ceilLo = collection.mutable.ArrayBuffer[Double]()
     val ceilHi = collection.mutable.ArrayBuffer[Double]()
+    val scanLo = collection.mutable.ArrayBuffer[Double]()
+    val scanHi = collection.mutable.ArrayBuffer[Double]()
     for (r <- 0 until rounds) {
       val order = if (r % 2 == 0) Seq(lowCores, cpus) else Seq(cpus, lowCores)
       for (cores <- order) {
-        val (ts, c) = sessionReps(cores)
-        if (cores == cpus) { repsHi ++= ts; ceilHi += c }
-        else { repsLo ++= ts; ceilLo += c }
+        val (ts, c, sc) = sessionReps(cores)
+        if (cores == cpus) { repsHi ++= ts; ceilHi += c; scanHi += sc }
+        else { repsLo ++= ts; ceilLo += c; scanLo += sc }
       }
     }
 
@@ -273,7 +307,14 @@ object Bench {
     val speedup = tLo / tHi
     val ratio = cpus.toDouble / lowCores
     val efficiency = speedup / ratio
-    val hwSpeedup = median(ceilHi.toSeq) / median(ceilLo.toSeq)
+    val aluSpeedup = median(ceilHi.toSeq) / median(ceilLo.toSeq)
+    val scanSecLo = median(scanLo.toSeq)
+    val scanSecHi = median(scanHi.toSeq)
+    val scanSpeedup = scanSecLo / scanSecHi
+    // attainable speedup: scan component floored at the measured scan,
+    // compute component floored at the ALU ceiling (serial composition)
+    val hwSpeedup =
+      tLo / (scanSecHi + math.max(0.0, tLo - scanSecLo) / aluSpeedup)
     val normEfficiency = if (hwSpeedup > 0) speedup / hwSpeedup else efficiency
 
     // ---- phase 3: skew-join A/B + kNN fixed-cost amortization ----
@@ -306,20 +347,29 @@ object Bench {
     val skewDocsN = sys.env.getOrElse("SPARK_GRAFT_SKEW_DOCS", "4000000").toLong
     val skewJson = {
       import spark3.implicits._
-      val stageReads = new java.util.concurrent.ConcurrentHashMap[Int, java.util.Vector[Long]]()
+      // per-task (shuffle-read bytes, executorRunTime) of every shuffle
+      // stage: bytes = reducer DATA balance; runtime = COMPUTE balance
+      // (the hot term's task also runs the PIP refine for its whole
+      // candidate block, so runtime skew is the straggler the bytes
+      // ratio predicts)
+      val stageReads = new java.util.concurrent.ConcurrentHashMap[Int, java.util.Vector[(Long, Long)]]()
       spark3.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
         override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
           val m = te.taskMetrics
           if (m != null && m.shuffleReadMetrics.totalBytesRead > 0) stageReads
-            .computeIfAbsent(te.stageId, _ => new java.util.Vector[Long]())
-            .add(m.shuffleReadMetrics.totalBytesRead)
+            .computeIfAbsent(te.stageId, _ => new java.util.Vector[(Long, Long)]())
+            .add((m.shuffleReadMetrics.totalBytesRead, m.executorRunTime))
         }
       })
-      def heaviestStageRatio(): Double = {
+      def heaviestStageRatios(): (Double, Double) = {
         import scala.jdk.CollectionConverters._
-        val heaviest = stageReads.asScala.values.maxBy(_.asScala.map(_.toDouble).sum)
-        val xs = heaviest.asScala.map(_.toDouble).toSeq.sorted
-        xs.last / xs(xs.size / 2)
+        val heaviest = stageReads.asScala.values
+          .maxBy(_.asScala.map(_._1.toDouble).sum).asScala.toSeq
+        def maxOverMedian(xs: Seq[Double]): Double = {
+          val s = xs.sorted; s.last / s(s.size / 2)
+        }
+        (maxOverMedian(heaviest.map(_._1.toDouble)),
+          maxOverMedian(heaviest.map(_._2.toDouble)))
       }
       val saved = Seq("spark.sql.adaptive.enabled",
         "spark.sql.autoBroadcastJoinThreshold", "spark.sql.shuffle.partitions")
@@ -331,21 +381,23 @@ object Bench {
       val polys = Seq((1,
         "-20.005:-150.005, -20.005:10.005, 60.005:10.005, 60.005:-150.005"))
         .toDF("qid", "poly")
-      def run(threshold: Long): (Double, Double) = {
+      def run(threshold: Long): (Double, Double, Double) = {
         stageReads.clear()
         val sec = timed(S2Joins.termPolygonJoin(docs, polys,
           saltThreshold = threshold, saltSampleFraction = 0.01).count())
-        (sec, heaviestStageRatio())
+        val (readRatio, cpuRatio) = heaviestStageRatios()
+        (sec, readRatio, cpuRatio)
       }
       run(0L) // warmup (JIT, shuffle files) — unsalted shape
-      val (u1, ur) = run(0L); val (u2, _) = run(0L)
-      val (s1, sr) = run(100000L); val (s2, _) = run(100000L)
+      val (u1, ur, uc) = run(0L); val (u2, _, _) = run(0L)
+      val (s1, sr, sc) = run(100000L); val (s2, _, _) = run(100000L)
       val unsalted = math.min(u1, u2); val salted = math.min(s1, s2)
       docs.unpersist()
       saved.foreach { case (k, v) => spark3.conf.set(k, v) }
       s"""{"docs":$skewDocsN,"shuffle_partitions":256,"broadcast":"off","aqe":"off",""" +
         s""""unsalted_sec":$unsalted,"salted_sec":$salted,""" +
         s""""unsalted_max_over_median_read":$ur,"salted_max_over_median_read":$sr,""" +
+        s""""unsalted_max_over_median_cpu":$uc,"salted_max_over_median_cpu":$sc,""" +
         s""""balance_improvement":${ur / sr}}"""
     }
     // kNN amortization: fixed query shape, rising doc count; fixed costs
@@ -361,10 +413,16 @@ object Bench {
         (i, graft.core.V3.fromLatLngDegrees(
           rnd.nextDouble() * 170 - 85, rnd.nextDouble() * 360 - 180))
       }
+      // each curve point is min-of-2 after a JIT warmup — same
+      // rationale as the headline best-of-2 and the scaling outlier
+      // rejection: the reps are identical deterministic work, so the
+      // slower one measures the interval (steal), not the engine, and a
+      // single contaminated point would fake a curve inflection
       def knn10kAt(n: Long): String = {
         val docs = geoDocs(n, clusterFrac = 0.0)
         S2Joins.knnJoin(docs, targets10k.take(500), k = 3).count() // warm JIT
-        val sec = timed(S2Joins.knnJoin(docs, targets10k, k = 3).count())
+        val sec = Seq.fill(2)(
+          timed(S2Joins.knnJoin(docs, targets10k, k = 3).count())).min
         docs.unpersist()
         s"""{"docs":$n,"sec":$sec,"docs_per_sec":${n / sec}}"""
       }
@@ -374,8 +432,8 @@ object Bench {
         val targets = docs.where(col("doc_id").substr(4, 9).cast("long") % step === 0)
           .select(col("doc_id").substr(4, 9).cast("int").as("qid"),
             (col("lat") * 0.97).as("t_lat"), (col("lng") * 0.97).as("t_lng"))
-        val sec = timed(
-          S2Joins.knnJoinLarge(docs, targets, k = 5, radii = Seq(0.1, 0.4)).count())
+        val sec = Seq.fill(2)(timed(
+          S2Joins.knnJoinLarge(docs, targets, k = 5, radii = Seq(0.1, 0.4)).count())).min
         docs.unpersist()
         s"""{"docs":$n,"sec":$sec,"docs_per_sec":${n / sec}}"""
       }
@@ -399,8 +457,12 @@ object Bench {
       s""""reps_hi_rejected":${arr(rejHi)},"reps_lo_rejected":${arr(rejLo)},""" +
       s""""docs_per_sec_hi":${benchDocs / tHi},"docs_per_sec_lo":${benchDocs / tLo},""" +
       s""""speedup":$speedup,"scaling_efficiency":$efficiency,""" +
+      s""""hw_ceiling_alu_speedup":$aluSpeedup,"hw_ceiling_scan_speedup":$scanSpeedup,""" +
+      s""""scan_sec_lo":$scanSecLo,"scan_sec_hi":$scanSecHi,""" +
       s""""hw_ceiling_speedup":$hwSpeedup,"scaling_efficiency_vs_hw":$normEfficiency}"""
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s""""headline_cpu_probe_gops":{"start":${headlineProbeStart / 1e9},""" +
+      s""""end":${headlineProbeEnd / 1e9}},""" +
       s""""pipeline":$pipelineJson,"skew_join":$skewJson,"knn_scale":$knnScaleJson,""" +
       s""""sf":"$sfDir"}""")
   }
