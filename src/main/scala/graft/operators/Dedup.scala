@@ -162,6 +162,13 @@ object Dedup {
       }
   }
 
+  /** Packed LSH band keys of a text column (kernel path) — exposed so the
+    * streaming near-dup filter shares bit-identical keys with the batch
+    * [[minHashCandidates]] pipeline. */
+  private[graft] def bandKeysColumn(textCol: Column, shingleN: Int,
+                                    numHashes: Int, bands: Int): Column =
+    bandKeysKernel(textCol, lit(shingleN), lit(numHashes), lit(bands))
+
   /** Candidate near-duplicate pairs via MinHash LSH: docs sharing ≥1 band.
     * Returns (id_a, id_b) with id_a < id_b, distinct. The join is an
     * equi-join on the packed band key — broadcast/SMJ/AQE-skew all apply. */

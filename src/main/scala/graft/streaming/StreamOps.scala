@@ -91,6 +91,64 @@ object StreamOps {
       }.toDF()
   }
 
+  /** One (doc, band-bucket) probe result from the bucket-reserving pass:
+    * `owned` = this doc reserved the bucket (it was unseen, and the doc is
+    * the batch's deterministic representative for it). */
+  case class BandProbe(doc_id: Long, owned: Boolean)
+
+  /** Streaming NEAR-duplicate filter (bucket-reserving MinHash-LSH): admit
+    * a doc iff EVERY one of its `bands` packed LSH band keys (bit-identical
+    * to the batch [[graft.operators.Dedup.minHashCandidates]] keys) is
+    * previously unseen in the stream. A near-duplicate of any earlier doc
+    * shares ≥ 1 band bucket with it and is suppressed — including
+    * near-duplicates of docs that were themselves suppressed (their buckets
+    * are reserved too, which is the transitive-closure behavior a batch
+    * near-dup CLUSTER pass produces: one representative per connected
+    * component, here the stream-order-first one). Within a micro-batch the
+    * representative for a bucket is the min doc_id (deterministic).
+    *
+    * Contracts and costs: docs with fewer than `shingleN` words produce no
+    * signature and are silently dropped (same as the batch LSH path —
+    * route shorts through [[streamingExactDedup]] instead). State is one
+    * boolean per DISTINCT band bucket ever seen — O(distinct buckets),
+    * never text or signatures; unrelated docs are falsely suppressed only
+    * on a band-key collision (~2^-31 per band pair). Two chained stateful
+    * operators (flatMapGroupsWithState keyed by bucket, then the per-doc
+    * all-bands conjunction) — run the sink in Update mode; each doc_id's
+    * conjunction emits exactly once because a doc's bands all arrive in
+    * its own micro-batch. Returns the admitted doc ids (join payload back
+    * by id downstream, the usual ids-only discipline). */
+  def streamingNearDupFilter(stream: DataFrame, idCol: String,
+                             textCol: String, shingleN: Int = 3,
+                             numHashes: Int = 64,
+                             bands: Int = 16): DataFrame = {
+    val spark = stream.sparkSession
+    import spark.implicits._
+    require(numHashes % bands == 0,
+      s"numHashes ($numHashes) must be divisible by bands ($bands)")
+    val probes = stream
+      .select(col(idCol).cast("long").as("doc_id"),
+        explode(graft.operators.Dedup.bandKeysColumn(
+          col(textCol), shingleN, numHashes, bands)).as("band_key"))
+      .as[(Long, Long)]
+      .groupByKey(_._2)
+      .flatMapGroupsWithState[Boolean, BandProbe](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (_: Long, rows: Iterator[(Long, Long)], state: GroupState[Boolean]) =>
+          val ids = rows.map(_._1).toArray
+          if (state.exists) ids.iterator.map(BandProbe(_, owned = false))
+          else {
+            state.update(true)
+            val rep = ids.min
+            ids.iterator.map(id => BandProbe(id, owned = id == rep))
+          }
+      }.toDF()
+    probes.groupBy("doc_id")
+      .agg(min(when(col("owned"), 1).otherwise(0)).as("owned_all"))
+      .where(col("owned_all") === 1)
+      .select("doc_id")
+  }
+
   /** Bounded-state streaming dedup: suppress duplicate content hashes that
     * arrive within the watermark delay of each other via
     * `dropDuplicatesWithinWatermark`. The state for a hash becomes

@@ -292,4 +292,51 @@ class StreamOpsSpec extends AnyFunSuite {
       assert(latest == 3) // state accumulated across the two batches
     } finally q.stop()
   }
+
+  test("streaming near-dup filter == sequential bucket-reserving mirror") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    val other = "completely different words describing an unrelated subject matter entirely separate corpus"
+    val third = "spark streaming stateful operators maintain keyed state across micro batch boundaries cleanly"
+    val batch1 = Seq(
+      (1L, base),
+      (2L, base.replace("today", "tonight")), // near-dup of 1
+      (3L, other))
+    val batch2 = Seq(
+      (4L, base.replace("river", "creek")), // near-dup of 1 (cross-batch)
+      (5L, third), // fresh
+      (6L, other + " indeed")) // near-dup of 3 (one appended word)
+    val mem = MemoryStream[(Long, String)]
+    val admitted = StreamOps.streamingNearDupFilter(
+      mem.toDF().toDF("doc_id", "text"), "doc_id", "text")
+    val q = admitted.writeStream.format("memory")
+      .queryName("neardup_adm").outputMode(OutputMode.Update()).start()
+    val got = try {
+      mem.addData(batch1); q.processAllAvailable()
+      mem.addData(batch2); q.processAllAvailable()
+      spark.table("neardup_adm").collect().map(_.getLong(0)).toSet
+    } finally q.stop()
+
+    // sequential mirror over the SAME kernel band keys (batch DataFrame
+    // path), replaying the operator's rule: bucket rep = min doc_id among
+    // this batch's first-touchers; admitted = doc owns ALL its buckets
+    def keysOf(rows: Seq[(Long, String)]): Map[Long, Seq[Long]] = rows.toDF("doc_id", "text")
+      .select(col("doc_id"), graft.operators.Dedup.bandKeysColumn(
+        col("text"), 3, 64, 16).as("ks"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSeq).toMap
+    val seen = collection.mutable.Set[Long]()
+    val expect = collection.mutable.Set[Long]()
+    for (batch <- Seq(batch1, batch2)) {
+      val ks = keysOf(batch)
+      val rep = batch.flatMap { case (id, _) => ks(id).map(_ -> id) }
+        .groupBy(_._1).map { case (k, xs) => k -> xs.map(_._2).min }
+      for ((id, _) <- batch)
+        if (ks(id).nonEmpty && ks(id).forall(k => !seen(k) && rep(k) == id))
+          expect += id
+      batch.foreach { case (id, _) => seen ++= ks(id) }
+    }
+    assert(got == expect.toSet, s"got $got expected $expect")
+    assert(got == Set(1L, 3L, 5L)) // near-dups 2, 4, 6 suppressed
+  }
 }
