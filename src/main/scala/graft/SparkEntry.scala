@@ -1517,6 +1517,34 @@ object SparkEntry {
       val media = docs.select(concat(lit("a"), col("doc_id")).as("media_ref"),
         wavUdf(col("doc_id")).as("bytes"))
       Multimodal.audioEnergyQ30(media, frameN = 400, hopN = 400)
+    }),
+
+    "q_media_video" -> ((s, dir) => {
+      // REAL video path: 4-frame 8x8 binary-pixel videos encoded as
+      // genuine RIFF/AVI containers (Motion-PNG codec), demuxed back by
+      // the chunk-tree walker, every frame PNG-decoded via javax.imageio,
+      // consecutive frames scored by sceneChanges. Binary pixels make the
+      // mean-square distance exact: dist = k/64 with k = differing-pixel
+      // count (dyadic, no float ties), so the oracle mirrors the whole
+      // demux->decode->diff pipeline in pure BIGINT + one exact division;
+      // is_cut (dist > 0.05) becomes k > 3.
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .where(col("doc_id") < 300)
+      val aviUdf = udf { (id: Long) =>
+        val frames = (0 until 4).map { f =>
+          Array.tabulate(64) { i =>
+            val one = i > 0 &&
+              (id * 4 + f + 131L) * (i + 37L) * 2654435761L % 1000003L < 400000L
+            if (one) 255 else 0
+          }
+        }
+        Multimodal.MediaCodec.encodeAviMpng(frames, 8, 8, fps = 5)
+      }
+      val media = docs.select(concat(lit("w"), col("doc_id")).as("media_ref"),
+        aviUdf(col("doc_id")).as("bytes"))
+      Multimodal.sceneChanges(
+        Multimodal.frameFeaturesReal(media, framesPerDoc = 4,
+          targetW = 8, targetH = 8), threshold = 0.05)
     }))
 
   /** DuckDB-runnable oracles (same parquet tables, same column names).
@@ -2907,6 +2935,23 @@ object SparkEntry {
                  ((d.doc_id*7 + (w.w*400 + i)*13) % 201 - 100))) AS BIGINT)
                  AS energy_q30
         FROM documents d, (VALUES (0), (1), (2)) w(w)
-        WHERE d.doc_id < 200""")
+        WHERE d.doc_id < 200""",
+
+      // the AVI demux+decode roundtrip is lossless (MPNG = PNG frames),
+      // so consecutive-frame distances reduce to differing-pixel counts
+      "q_media_video" -> """
+        SELECT media_ref, frame_off, CAST(k AS DOUBLE) / 64 AS dist,
+               k > 3 AS is_cut
+        FROM (
+          SELECT concat('w', CAST(d.doc_id AS VARCHAR)) AS media_ref,
+                 CAST(f.f * 200 AS BIGINT) AS frame_off,
+                 CAST(list_sum(list_transform(range(1, 64), i ->
+                   CASE WHEN (((d.doc_id*4 + f.f + 131) * (i+37) * 2654435761)
+                                % 1000003 < 400000)
+                         <> (((d.doc_id*4 + f.f + 130) * (i+37) * 2654435761)
+                                % 1000003 < 400000)
+                        THEN 1 ELSE 0 END)) AS BIGINT) AS k
+          FROM documents d, (VALUES (1), (2), (3)) f(f)
+          WHERE d.doc_id < 300)""")
   }
 }

@@ -435,4 +435,57 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(cuts.length == media.count() * 3) // framesPerDoc-1 per media
     cuts.foreach(r => assert(r.getDouble(2) > 0))
   }
+
+  test("multimodal: REAL AVI container roundtrips frames losslessly") {
+    val codec = Multimodal.MediaCodec
+    val rnd = new scala.util.Random(11)
+    val frames = Seq.fill(5)(Array.fill(12 * 7)(rnd.nextInt(256)))
+    val avi = codec.encodeAviMpng(frames, 12, 7, fps = 10)
+    // container sanity: real RIFF/AVI magic, parseable by the demuxer
+    assert(new String(avi, 0, 4, "US-ASCII") == "RIFF")
+    assert(new String(avi, 8, 4, "US-ASCII") == "AVI ")
+    val Some((payloads, w, h, usec)) = codec.demuxAvi(avi)
+    assert((payloads.length, w, h, usec) == (5, 12, 7, 100000L))
+    // MPNG = PNG frames: decode returns the exact pixels, in order
+    payloads.zip(frames).foreach { case (png, orig) =>
+      val Some((px, pw, ph)) = codec.decodeImageReal(png)
+      assert((pw, ph) == (12, 7))
+      assert(px.toSeq == orig.map(_ / 255.0f).toSeq)
+    }
+    // frame selection by presentation time (100 ms per frame at 10 fps)
+    val f2 = codec.decodeFrameReal(avi, 250, 12, 7).get
+    assert(f2.toSeq == frames(2).map(_ / 255.0f).toSeq)
+    // non-AVI and truncated bytes decode to None, never throw
+    assert(codec.demuxAvi("not a container".getBytes).isEmpty)
+    assert(codec.demuxAvi(avi.take(40)).isEmpty)
+    assert(codec.demuxAvi(null).isEmpty)
+  }
+
+  test("multimodal: frameFeaturesReal demuxes real AVIs; sceneChanges exact on binary frames") {
+    import spark.implicits._
+    val codec = Multimodal.MediaCodec
+    // two planted videos: v0 = frames (A, A, B) -> one cut; v1 = (C, C, C)
+    // -> no cuts. Binary pixels make dist = differing/64 exactly.
+    val a = Array.tabulate(64)(i => if (i % 3 == 0) 255 else 0)
+    val b = Array.tabulate(64)(i => if (i % 3 == 0 || i < 8) 255 else 0)
+    val c = Array.tabulate(64)(i => if (i % 5 == 0) 255 else 0)
+    val media = Seq(
+      ("v0", codec.encodeAviMpng(Seq(a, a, b), 8, 8, fps = 5)),
+      ("v1", codec.encodeAviMpng(Seq(c, c, c), 8, 8, fps = 5)),
+      ("junk", "not an avi at all".getBytes)).toDF("media_ref", "bytes")
+    val ff = Multimodal.frameFeaturesReal(media, framesPerDoc = 3,
+      targetW = 8, targetH = 8)
+    assert(ff.count() == 6) // junk row contributes nothing
+    val offs = ff.where(col("media_ref") === "v0")
+      .select("frame_off").collect().map(_.getLong(0)).sorted.toSeq
+    assert(offs == Seq(0L, 200L, 400L)) // 5 fps -> 200 ms per frame
+    val cuts = Multimodal.sceneChanges(ff, threshold = 0.05).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> (r.getDouble(2), r.getBoolean(3)))
+      .toMap
+    val kAB = a.zip(b).count { case (x, y) => x != y } // pixels i<8, i%3!=0
+    assert(cuts(("v0", 200L)) == ((0.0, false)))
+    assert(cuts(("v0", 400L)) == ((kAB / 64.0, true)))
+    assert(cuts(("v1", 200L)) == ((0.0, false)))
+    assert(cuts(("v1", 400L)) == ((0.0, false)))
+  }
 }
