@@ -384,7 +384,8 @@ object Bench {
       def run(threshold: Long): (Double, Double, Double) = {
         stageReads.clear()
         val sec = timed(S2Joins.termPolygonJoin(docs, polys,
-          saltThreshold = threshold, saltSampleFraction = 0.01).count())
+          saltThreshold = threshold, saltSampleFraction = 0.01,
+          minDetectBytes = 0L).count())
         val (readRatio, cpuRatio) = heaviestStageRatios()
         (sec, readRatio, cpuRatio)
       }

@@ -394,7 +394,7 @@ object SparkEntry {
       import s.implicits._
       val polys = Seq((1, skewPolyText)).toDF("qid", "poly")
       S2Joins.termPolygonJoin(docsGeo(s, dir), polys,
-          saltThreshold = 2L, saltSampleFraction = 1.0)
+          saltThreshold = 2L, saltSampleFraction = 1.0, minDetectBytes = 0L)
         .groupBy(col("qid"))
         .agg(count(lit(1)).as("cnt"), sum("doc_id").as("sum_id"))
     }),

@@ -114,12 +114,21 @@ object S2Joins {
     * `hash(doc_id) % saltFactor` sub-keys, region rows replicated only
     * for those terms. Results are identical (plan-level rebalancing
     * only); AQE skew split remains as backstop. Set `saltThreshold <= 0`
-    * to disable detection entirely. */
+    * to disable detection entirely.
+    *
+    * The detection job itself is a fixed ~0.3 s cost, so it is SIZE-GATED:
+    * it only runs when the doc side's optimizer size estimate is at least
+    * `minDetectBytes` (default 256 MB). Below that the entire doc side
+    * fits in a couple of shuffle partitions — the worst straggler is
+    * bounded by the input itself and cannot repay a detection job. At
+    * 100 TB the gate always passes; set `minDetectBytes <= 0` to force
+    * detection regardless of size (tests, A/B harnesses). */
   def termPolygonJoin(docs: DataFrame, polys: DataFrame,
                       polyTextCol: String = "poly", qidCol: String = "qid",
                       indexer: S2TermIndexer = new S2TermIndexer(),
                       saltThreshold: Long = 2000000L,
-                      saltSampleFraction: Double = 0.001): DataFrame = {
+                      saltSampleFraction: Double = 0.001,
+                      minDetectBytes: Long = 256L << 20): DataFrame = {
     val queryTermsUdf = udf { (text: String) =>
       indexer.queryTerms(graft.functions.PolyCache.get(text))
     }
@@ -129,7 +138,10 @@ object S2Joins {
     val q = polys.select(col(qidCol), col(polyTextCol),
       explode(queryTermsUdf(col(polyTextCol))).as("term"))
     val salts: Map[String, Int] =
-      if (saltThreshold <= 0) Map.empty
+      if (saltThreshold <= 0 ||
+          (minDetectBytes > 0 &&
+            slim.queryExecution.optimizedPlan.stats.sizeInBytes <
+              BigInt(minDetectBytes))) Map.empty
       else {
         // sample the DOCS (not the exploded terms) so the detection job
         // computes terms only for the sampled fraction

@@ -79,7 +79,8 @@ object SkewBench {
       stageReads.clear()
       val t0 = System.nanoTime()
       val c = S2Joins.termPolygonJoin(docs, polys,
-        saltThreshold = t, saltSampleFraction = 0.01).count()
+        saltThreshold = t, saltSampleFraction = 0.01,
+        minDetectBytes = 0L).count()
       (c, (System.nanoTime() - t0) / 1e9, skewRatio())
     }
     if (sys.env.contains("SKEW_DIAG")) {

@@ -142,7 +142,7 @@ class PlanAuditSpec extends AnyFunSuite {
     // 2000 docs, 80% in 20 clusters -> ~80 docs share each cluster's
     // ancestor terms; threshold 20 must trigger detection
     val salted = S2Joins.termPolygonJoin(docs, polys,
-      saltThreshold = 20L, saltSampleFraction = 1.0)
+      saltThreshold = 20L, saltSampleFraction = 1.0, minDetectBytes = 0L)
     val unsalted = S2Joins.termPolygonJoin(docs, polys, saltThreshold = 0L)
     val plan = salted.queryExecution.optimizedPlan.toString
     assert(plan.contains("_salt"), s"auto-salt did not engage:\n$plan")
