@@ -267,7 +267,10 @@ object Multimodal {
           val id = fccAt(p)
           val sz = u32At(p + 4).toInt
           val body = p + 8
-          if (body + sz > bytes.length) return // truncated: stop cleanly
+          // sz < 0 (a 2^31+ size field) is malformed on any real AVI and
+          // would step `p` backwards — a crafted 0xFFFFFFF8 size makes
+          // the walk non-advancing; treat it as truncation and stop
+          if (sz < 0 || body + sz > bytes.length) return
           id match {
             case "LIST" => walk(body + 4, body + sz) // skip the kind tag
             case "avih" if sz >= 40 =>

@@ -459,6 +459,31 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(codec.demuxAvi("not a container".getBytes).isEmpty)
     assert(codec.demuxAvi(avi.take(40)).isEmpty)
     assert(codec.demuxAvi(null).isEmpty)
+    // adversarial robustness: random garbage, random truncations, and
+    // single-byte mutations of a valid file must never throw (mutations
+    // may still demux — a flipped byte inside a frame payload is the
+    // PNG decoder's problem, which already returns Option)
+    // crafted 0xFFFFFFF8 chunk size (sz.toInt = -8) must terminate, not
+    // spin the chunk walk in place
+    val crafted = "RIFF".getBytes ++ Array[Byte](100, 0, 0, 0) ++
+      "AVI ".getBytes ++ "xxxx".getBytes ++
+      Array[Byte](0xF8.toByte, 0xFF.toByte, 0xFF.toByte, 0xFF.toByte) ++
+      Array.fill(80)(0.toByte)
+    assert(codec.demuxAvi(crafted).isEmpty)
+    val fuzz = new scala.util.Random(7)
+    (1 to 200).foreach { _ =>
+      val garbage = Array.fill(fuzz.nextInt(300))(fuzz.nextInt(256).toByte)
+      codec.demuxAvi(garbage) // must not throw
+      codec.decodeFrameReal(garbage, 0, 4, 4)
+    }
+    (1 to 200).foreach { _ =>
+      val cut = avi.take(fuzz.nextInt(avi.length))
+      codec.demuxAvi(cut.toArray)
+      val mut = avi.clone()
+      mut(fuzz.nextInt(mut.length)) = fuzz.nextInt(256).toByte
+      codec.demuxAvi(mut)
+      codec.decodeFrameReal(mut, fuzz.nextLong(1000), 8, 8)
+    }
   }
 
   test("multimodal: frameFeaturesReal demuxes real AVIs; sceneChanges exact on binary frames") {
