@@ -366,7 +366,10 @@ object Bench {
         val heaviest = stageReads.asScala.values
           .maxBy(_.asScala.map(_._1.toDouble).sum).asScala.toSeq
         def maxOverMedian(xs: Seq[Double]): Double = {
-          val s = xs.sorted; s.last / s(s.size / 2)
+          // floor the median at 1 (byte / millisecond): half the reducers
+          // finishing in 0 ms is possible on a skewed stage, and a 0
+          // denominator would emit Infinity into the JSON artifact
+          val s = xs.sorted; s.last / math.max(1.0, s(s.size / 2))
         }
         (maxOverMedian(heaviest.map(_._1.toDouble)),
           maxOverMedian(heaviest.map(_._2.toDouble)))

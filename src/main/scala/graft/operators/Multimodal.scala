@@ -201,6 +201,10 @@ object Multimodal {
       * private format. */
     def encodeAviMpng(frames: Seq[Array[Int]], w: Int, h: Int,
                       fps: Int): Array[Byte] = {
+      require(frames.nonEmpty, "encodeAviMpng: at least one frame")
+      require(fps > 0, s"encodeAviMpng: fps must be positive, got $fps")
+      require(frames.forall(_.length == w * h),
+        s"encodeAviMpng: every frame must be $w x $h pixels")
       val bos = new java.io.ByteArrayOutputStream()
       def u32(v: Long): Array[Byte] = Array(
         (v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte,
@@ -261,7 +265,12 @@ object Multimodal {
       if (fccAt(0) != "RIFF" || fccAt(8) != "AVI ") return None
       val frames = collection.mutable.ArrayBuffer[Array[Byte]]()
       var w = 0; var h = 0; var usec = 0L
-      def walk(start: Int, end: Int): Unit = {
+      // depth-bounded: real AVIs nest 3-4 LIST levels; a crafted file of
+      // nothing but LIST headers would otherwise recurse once per 12
+      // bytes and overflow the stack (an Error, which the catch below
+      // deliberately does not swallow)
+      def walk(start: Int, end: Int, depth: Int): Unit = {
+        if (depth > 16) return
         var p = start
         while (p + 8 <= end) {
           val id = fccAt(p)
@@ -272,7 +281,7 @@ object Multimodal {
           // the walk non-advancing; treat it as truncation and stop
           if (sz < 0 || body + sz > bytes.length) return
           id match {
-            case "LIST" => walk(body + 4, body + sz) // skip the kind tag
+            case "LIST" => walk(body + 4, body + sz, depth + 1) // skip the kind tag
             case "avih" if sz >= 40 =>
               usec = u32At(body); w = u32At(body + 32).toInt
               h = u32At(body + 36).toInt
@@ -284,7 +293,7 @@ object Multimodal {
         }
       }
       try {
-        walk(12, bytes.length)
+        walk(12, bytes.length, 0)
         if (frames.isEmpty) None else Some((frames.toSeq, w, h, usec))
       } catch { case _: Exception => None }
     }

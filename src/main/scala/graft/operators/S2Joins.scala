@@ -118,17 +118,19 @@ object S2Joins {
     *
     * The detection job itself is a fixed ~0.3 s cost, so it is SIZE-GATED:
     * it only runs when the doc side's optimizer size estimate is at least
-    * `minDetectBytes` (default 256 MB). Below that the entire doc side
-    * fits in a couple of shuffle partitions — the worst straggler is
-    * bounded by the input itself and cannot repay a detection job. At
-    * 100 TB the gate always passes; set `minDetectBytes <= 0` to force
-    * detection regardless of size (tests, A/B harnesses). */
+    * `minDetectBytes` (default 64 MB — half a default shuffle partition:
+    * below that the whole doc side is one reducer's comfortable load, so
+    * the worst straggler is bounded by the input itself and cannot repay
+    * a detection job; the skew A/B's measured salted win is at ~200 MB,
+    * comfortably above the gate). At 100 TB the gate always passes; set
+    * `minDetectBytes <= 0` to force detection regardless of size (tests,
+    * A/B harnesses). */
   def termPolygonJoin(docs: DataFrame, polys: DataFrame,
                       polyTextCol: String = "poly", qidCol: String = "qid",
                       indexer: S2TermIndexer = new S2TermIndexer(),
                       saltThreshold: Long = 2000000L,
                       saltSampleFraction: Double = 0.001,
-                      minDetectBytes: Long = 256L << 20): DataFrame = {
+                      minDetectBytes: Long = 64L << 20): DataFrame = {
     val queryTermsUdf = udf { (text: String) =>
       indexer.queryTerms(graft.functions.PolyCache.get(text))
     }

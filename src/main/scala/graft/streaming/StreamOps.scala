@@ -96,57 +96,99 @@ object StreamOps {
     * the batch's deterministic representative for it). */
   case class BandProbe(doc_id: Long, owned: Boolean)
 
+  case class BandProbeTs(doc_id: Long, ts: java.sql.Timestamp, owned: Boolean)
+
   /** Streaming NEAR-duplicate filter (bucket-reserving MinHash-LSH): admit
     * a doc iff EVERY one of its `bands` packed LSH band keys (bit-identical
     * to the batch [[graft.operators.Dedup.minHashCandidates]] keys) is
     * previously unseen in the stream. A near-duplicate of any earlier doc
     * shares ≥ 1 band bucket with it and is suppressed — including
-    * near-duplicates of docs that were themselves suppressed (their buckets
-    * are reserved too, which is the transitive-closure behavior a batch
-    * near-dup CLUSTER pass produces: one representative per connected
-    * component, here the stream-order-first one). Within a micro-batch the
+    * near-duplicates of docs that were themselves suppressed, whose buckets
+    * were reserved too. This is stream-order greedy, NOT batch connected
+    * components: a later "bridge" doc sharing buckets with two
+    * already-admitted docs is suppressed, but the two admitted docs stay
+    * emitted (a batch cluster pass would have merged all three under one
+    * representative — a stream cannot retract). Within a micro-batch the
     * representative for a bucket is the min doc_id (deterministic).
     *
     * Contracts and costs: docs with fewer than `shingleN` words produce no
     * signature and are silently dropped (same as the batch LSH path —
-    * route shorts through [[streamingExactDedup]] instead). State is one
-    * boolean per DISTINCT band bucket ever seen — O(distinct buckets),
-    * never text or signatures; unrelated docs are falsely suppressed only
-    * on a band-key collision (~2^-31 per band pair). Two chained stateful
-    * operators (flatMapGroupsWithState keyed by bucket, then the per-doc
-    * all-bands conjunction) — run the sink in Update mode; each doc_id's
-    * conjunction emits exactly once because a doc's bands all arrive in
-    * its own micro-batch. Returns the admitted doc ids (join payload back
-    * by id downstream, the usual ids-only discipline). */
+    * route shorts through [[streamingExactDedup]] instead). Bucket state
+    * is one boolean per DISTINCT band bucket ever seen — O(distinct
+    * buckets), never text or signatures (the all-history tradeoff, same
+    * as [[streamingExactDedup]]); unrelated docs are falsely suppressed
+    * only on a band-key collision (~2^-31 per band pair). The downstream
+    * per-doc all-bands conjunction is ALSO stateful: with `tsCol` set
+    * (recommended for long-running streams) it runs as a watermarked
+    * window aggregation whose per-doc state is evicted `lateness` past
+    * the doc's event time — each doc's bands arrive in its own
+    * micro-batch, so any positive lateness is semantically safe; without
+    * `tsCol` the conjunction keeps one row per doc_id forever (fine for
+    * bounded backfills only). Two chained stateful operators — run the
+    * sink in Update mode; each doc_id emits exactly once. Returns the
+    * admitted doc ids (join payload back by id downstream, the usual
+    * ids-only discipline). */
   def streamingNearDupFilter(stream: DataFrame, idCol: String,
                              textCol: String, shingleN: Int = 3,
-                             numHashes: Int = 64,
-                             bands: Int = 16): DataFrame = {
+                             numHashes: Int = 64, bands: Int = 16,
+                             tsCol: Option[String] = None,
+                             lateness: String = "10 minutes"): DataFrame = {
     val spark = stream.sparkSession
     import spark.implicits._
     require(numHashes % bands == 0,
       s"numHashes ($numHashes) must be divisible by bands ($bands)")
-    val probes = stream
-      .select(col(idCol).cast("long").as("doc_id"),
-        explode(graft.operators.Dedup.bandKeysColumn(
-          col(textCol), shingleN, numHashes, bands)).as("band_key"))
-      .as[(Long, Long)]
-      .groupByKey(_._2)
-      .flatMapGroupsWithState[Boolean, BandProbe](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
-        (_: Long, rows: Iterator[(Long, Long)], state: GroupState[Boolean]) =>
-          val ids = rows.map(_._1).toArray
-          if (state.exists) ids.iterator.map(BandProbe(_, owned = false))
-          else {
-            state.update(true)
-            val rep = ids.min
-            ids.iterator.map(id => BandProbe(id, owned = id == rep))
-          }
-      }.toDF()
-    probes.groupBy("doc_id")
-      .agg(min(when(col("owned"), 1).otherwise(0)).as("owned_all"))
-      .where(col("owned_all") === 1)
-      .select("doc_id")
+    val keys = graft.operators.Dedup.bandKeysColumn(
+      col(textCol), shingleN, numHashes, bands)
+    tsCol match {
+      case None =>
+        val probes = stream
+          .select(col(idCol).cast("long").as("doc_id"),
+            explode(keys).as("band_key"))
+          .as[(Long, Long)]
+          .groupByKey(_._2)
+          .flatMapGroupsWithState[Boolean, BandProbe](
+            OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+            (_: Long, rows: Iterator[(Long, Long)], state: GroupState[Boolean]) =>
+              val ids = rows.map(_._1).toArray
+              if (state.exists) ids.iterator.map(BandProbe(_, owned = false))
+              else {
+                state.update(true)
+                val rep = ids.min
+                ids.iterator.map(id => BandProbe(id, owned = id == rep))
+              }
+          }.toDF()
+        probes.groupBy("doc_id")
+          .agg(min(when(col("owned"), 1).otherwise(0)).as("owned_all"))
+          .where(col("owned_all") === 1)
+          .select("doc_id")
+      case Some(ts) =>
+        val probes = stream
+          .select(col(idCol).cast("long").as("doc_id"),
+            col(ts).cast("timestamp").as("ts"), explode(keys).as("band_key"))
+          .as[(Long, java.sql.Timestamp, Long)]
+          .groupByKey(_._3)
+          .flatMapGroupsWithState[Boolean, BandProbeTs](
+            OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+            (_: Long, rows: Iterator[(Long, java.sql.Timestamp, Long)],
+             state: GroupState[Boolean]) =>
+              val xs = rows.toArray
+              if (state.exists)
+                xs.iterator.map(r => BandProbeTs(r._1, r._2, owned = false))
+              else {
+                state.update(true)
+                val rep = xs.iterator.map(_._1).min
+                xs.iterator.map(r => BandProbeTs(r._1, r._2, owned = r._1 == rep))
+              }
+          }.toDF()
+        // windowed conjunction: the window key lets the state store evict
+        // a doc's row once the watermark passes its window (+lateness) —
+        // non-windowed grouped aggregates never evict
+        probes.withWatermark("ts", lateness)
+          .groupBy(window(col("ts"), lateness), col("doc_id"))
+          .agg(min(when(col("owned"), 1).otherwise(0)).as("owned_all"))
+          .where(col("owned_all") === 1)
+          .select("doc_id")
+    }
   }
 
   /** Bounded-state streaming dedup: suppress duplicate content hashes that

@@ -14,10 +14,11 @@ import graft.Bench
   * so vCPU-steal and writeback intervals hit both levels symmetrically;
   * TWO hardware-ceiling probes sampled adjacent to every session — the
   * pure-ALU mix loop AND the parquet scan of the columns the flagship
-  * reads. The job's attainable thread-scaling is bounded by BOTH (the
-  * scan path saturates page-cache memory bandwidth well before 32 ALU
-  * threads saturate cores), so the roofline = min(alu, scan) is the
-  * normalizer; medians reported (all reps printed).
+  * reads (the scan saturates page-cache memory bandwidth well before 32
+  * ALU threads saturate cores). The normalizer is the SERIAL-COMPOSITION
+  * attainable speedup t_lo / (scan_hi + (t_lo - scan_lo) / alu): the
+  * scan part of the job cannot beat the measured scan, the rest cannot
+  * beat the ALU ceiling. Medians reported (all reps printed).
   */
 object ScalingBench {
   private def session(cores: Int): SparkSession = {

@@ -338,5 +338,33 @@ class StreamOpsSpec extends AnyFunSuite {
     }
     assert(got == expect.toSet, s"got $got expected $expect")
     assert(got == Set(1L, 3L, 5L)) // near-dups 2, 4, 6 suppressed
+
+    // watermarked variant: same admissions, but the per-doc conjunction
+    // runs as a windowed aggregation whose state is EVICTED once the
+    // watermark passes the doc's window — verified via the state
+    // operator's numRowsRemoved after a far-future sentinel batch
+    val mem2 = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val admitted2 = StreamOps.streamingNearDupFilter(
+      mem2.toDF().toDF("doc_id", "ts", "text"), "doc_id", "text",
+      tsCol = Some("ts"), lateness = "10 minutes")
+    val q2 = admitted2.writeStream.format("memory")
+      .queryName("neardup_adm_ts").outputMode(OutputMode.Update()).start()
+    val got2 = try {
+      def at(min: Int) = java.sql.Timestamp.valueOf(f"2026-01-01 10:$min%02d:00")
+      mem2.addData(batch1.map { case (id, t) => (id, at(1), t) })
+      q2.processAllAvailable()
+      mem2.addData(batch2.map { case (id, t) => (id, at(2), t) })
+      q2.processAllAvailable()
+      mem2.addData(Seq((100L, at(59), "sentinel text far in the future pushing the watermark forward now")))
+      q2.processAllAvailable()
+      mem2.addData(Seq((101L, at(59), "second sentinel text also far in the future for the final flush")))
+      q2.processAllAvailable()
+      val evicted = q2.recentProgress
+        .flatMap(p => Option(p.stateOperators).toSeq.flatMap(_.toSeq))
+        .exists(_.numRowsRemoved > 0)
+      assert(evicted, "windowed conjunction state was never evicted")
+      spark.table("neardup_adm_ts").collect().map(_.getLong(0)).toSet
+    } finally q2.stop()
+    assert(got2 == Set(1L, 3L, 5L, 100L, 101L), s"got2 $got2")
   }
 }
