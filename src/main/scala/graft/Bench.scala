@@ -382,13 +382,17 @@ object Bench {
       spark3.conf.set("spark.sql.shuffle.partitions", "256")
       val docs = geoDocs(skewDocsN, clusterFrac = 0.9, nClusters = 2)
       val polys = Seq((1,
-        "-20.005:-150.005, -20.005:10.005, 60.005:10.005, 60.005:-150.005"))
+        graft.SparkEntry.skewPolyText))
         .toDF("qid", "poly")
       def run(threshold: Long): (Double, Double, Double) = {
         stageReads.clear()
         val sec = timed(S2Joins.termPolygonJoin(docs, polys,
           saltThreshold = threshold, saltSampleFraction = 0.01,
           minDetectBytes = 0L).count())
+        // drain the async listener bus: the trailing task-end events are
+        // often the stragglers themselves
+        org.apache.spark.sql.graftbridge.ListenerBridge
+          .waitUntilListenersProcessed(spark3.sparkContext)
         val (readRatio, cpuRatio) = heaviestStageRatios()
         (sec, readRatio, cpuRatio)
       }

@@ -278,8 +278,10 @@ object Multimodal {
           val body = p + 8
           // sz < 0 (a 2^31+ size field) is malformed on any real AVI and
           // would step `p` backwards — a crafted 0xFFFFFFF8 size makes
-          // the walk non-advancing; treat it as truncation and stop
-          if (sz < 0 || body + sz > bytes.length) return
+          // the walk non-advancing; treat it as truncation and stop.
+          // long arithmetic: body + sz wraps negative for sz near 2^31,
+          // which would slip past an int comparison
+          if (sz < 0 || body.toLong + sz > bytes.length) return
           id match {
             case "LIST" => walk(body + 4, body + sz, depth + 1) // skip the kind tag
             case "avih" if sz >= 40 =>
@@ -536,6 +538,9 @@ object Multimodal {
     * oracle-able surface of the real audio path (q_media_audio gate);
     * rows that fail to decode are dropped. */
   def audioEnergyQ30(media: DataFrame, frameN: Int, hopN: Int): DataFrame = {
+    require(frameN > 0 && hopN > 0,
+      s"audioEnergyQ30: frameN ($frameN) and hopN ($hopN) must be positive" +
+        " (a zero hop divides by zero inside executor tasks)")
     val outSchema = StructType(Seq(
       StructField("media_ref", StringType, nullable = false),
       StructField("win_idx", IntegerType, nullable = false),

@@ -97,6 +97,13 @@ object S2Joins {
     * skew split applies; pre-salt with [[Skew.saltedTermJoin]] when a
     * region covers a hot cell).
     *
+    * Contract: `doc_id` must be UNIQUE in `docs` (same contract as
+    * [[Similarity.annTopK]]). The exactly-one-shared-term invariant makes
+    * each (doc_id, qid) candidate arrive once PER DOC ROW — with
+    * duplicate ids the final id-keyed payload re-join multiplies rows
+    * (n matches × n payload rows); pre-dedupe upstream
+    * (`dropDuplicates("doc_id")`) if ids can repeat.
+    *
     * Shuffle discipline (the 100 TB shape): candidate generation runs
     * over an (doc_id, lat, lng) projection — each doc's ~13 exploded
     * ancestor terms carry three scalars through the exchange, never the
@@ -161,7 +168,7 @@ object S2Joins {
       // no (doc, qid) dedup: a point doc's plain ancestor tokens meet a
       // region query's plain tokens (its DISJOINT covering cells) at most
       // once, so each candidate pair arrives exactly once — the invariant
-      // S2SpatialJoinRule proves and TermSchemeSpec fuzz-tests. Dropping
+      // S2SpatialJoinRule proves and SpatialSqlJoinSpec fuzz-tests. Dropping
       // the dedup removes a full shuffle of the candidate set.
       .where(S2.polygonContains(col(polyTextCol), col("lat"), col("lng")))
       .select(col("doc_id"), col(qidCol))
@@ -563,6 +570,12 @@ object S2Joins {
     * the entire table fall to the (count-gated) driver-side broadcast
     * fallback.
     *
+    * Contract: `idCol` must be UNIQUE in `docs` — the per-round candidate
+    * stream relies on the exactly-one-shared-term invariant instead of a
+    * (qid, doc) dedup shuffle, so a duplicated doc id would occupy
+    * multiple top-k rank slots and displace a true neighbor; pre-dedupe
+    * upstream if ids can repeat.
+    *
     * Returns (qid, doc_id, dist2, rank) like [[knnJoin]]. */
   def knnJoinLarge(docs: DataFrame, targets: DataFrame, k: Int,
                    qidCol: String = "qid",
@@ -609,7 +622,7 @@ object S2Joins {
       // its covering cells — a normalized DISJOINT union, of which at
       // most one lies on the doc's ancestor chain, so each (target, doc)
       // candidate pair arrives exactly once (same invariant
-      // S2SpatialJoinRule relies on; fuzz-tested in TermSchemeSpec).
+      // S2SpatialJoinRule relies on; fuzz-tested in SpatialSqlJoinSpec).
       // Skipping the dedup also lets Spark's WindowGroupLimit rewrite
       // run the rank filter map-side: each input task forwards at most k
       // rows per target into the window exchange, so the shuffled volume

@@ -33,7 +33,7 @@ import graft.functions._
   * covering cells — a normalized, DISJOINT union, of which at most one
   * can lie on the point's ancestor chain. Each intersecting pair
   * therefore shares exactly one term, and the rewrite preserves row
-  * multiplicity exactly (TermSchemeSpec asserts the invariant).
+  * multiplicity exactly (SpatialSqlJoinSpec's term-scheme invariant fuzz asserts it).
   *
   * Scope: Inner/Cross joins whose condition (a) contains an
   * [[graft.functions.S2ContainsPoint]] or
@@ -134,8 +134,12 @@ object S2SpatialJoinRule extends Rule[LogicalPlan] {
             outer = false, qualifier = None, generatorOutput = Seq(termQry),
             child = if (docIsLeft) right else left)
           val (newLeft, newRight) = if (docIsLeft) (genDoc, genQry) else (genQry, genDoc)
+          // preserve user join hints: each Generate wraps the original
+          // side in place, so the original left/right hints still apply
+          // (e.g. /*+ BROADCAST(regions) */ keeps the candidate join a
+          // broadcast join instead of shuffling the exploded doc terms)
           val candidates = Join(newLeft, newRight, Inner,
-            Some(EqualTo(termDoc, termQry)), JoinHint.NONE)
+            Some(EqualTo(termDoc, termQry)), j.hint)
           // full original condition as the exact refine (spatial predicate
           // + any remaining conjuncts)
           Project(j.output, Filter(cond, candidates))

@@ -121,10 +121,14 @@ object StreamOps {
     * per-doc all-bands conjunction is ALSO stateful: with `tsCol` set
     * (recommended for long-running streams) it runs as a watermarked
     * window aggregation whose per-doc state is evicted `lateness` past
-    * the doc's event time — each doc's bands arrive in its own
-    * micro-batch, so any positive lateness is semantically safe; without
-    * `tsCol` the conjunction keeps one row per doc_id forever (fine for
-    * bounded backfills only). Two chained stateful operators — run the
+    * the doc's event time. The watermark cuts BOTH ways: a doc whose
+    * event time lags the stream's max event time by more than `lateness`
+    * is dropped by the windowed conjunction (never admitted) even though
+    * its probes already reserved buckets — standard late-data semantics,
+    * so size `lateness` to the stream's real disorder bound, and don't
+    * mix deep backfills into a live tsCol stream. Without `tsCol` no row
+    * is ever late, but the conjunction keeps one row per doc_id forever
+    * (fine for bounded backfills only). Two chained stateful operators — run the
     * sink in Update mode; each doc_id emits exactly once. Returns the
     * admitted doc ids (join payload back by id downstream, the usual
     * ids-only discipline). */

@@ -45,7 +45,7 @@ object SkewBench {
         f"${la + 0.4}%.3f:${ln + 0.4}%.3f, ${la + 0.4}%.3f:$ln%.3f")
     }
     val polys = (Seq((1,
-      "-20.005:-150.005, -20.005:10.005, 60.005:10.005, 60.005:-150.005")) ++
+      graft.SparkEntry.skewPolyText)) ++
       small).toDF("qid", "poly")
     // per-stage task shuffle-read sizes: the reducer-side data balance is
     // what salting changes — on a large cluster the max/median ratio IS
@@ -81,7 +81,11 @@ object SkewBench {
       val c = S2Joins.termPolygonJoin(docs, polys,
         saltThreshold = t, saltSampleFraction = 0.01,
         minDetectBytes = 0L).count()
-      (c, (System.nanoTime() - t0) / 1e9, skewRatio())
+      val wall = (System.nanoTime() - t0) / 1e9
+      // drain the async listener bus before reading per-task tallies
+      org.apache.spark.sql.graftbridge.ListenerBridge
+        .waitUntilListenersProcessed(spark.sparkContext)
+      (c, wall, skewRatio())
     }
     if (sys.env.contains("SKEW_DIAG")) {
       println("top doc terms:")

@@ -137,7 +137,7 @@ class PlanAuditSpec extends AnyFunSuite {
     val docs = S2Joins.withCellId(spark.read.parquet(docsPath), col("lat"), col("lng"))
     import spark.implicits._
     // continent-scale quad: its coarse covering terms match whole clusters
-    val polys = Seq((1, "-20.005:-150.005, -20.005:10.005, 60.005:10.005, 60.005:-150.005"))
+    val polys = Seq((1, graft.SparkEntry.skewPolyText))
       .toDF("qid", "poly")
     // 2000 docs, 80% in 20 clusters -> ~80 docs share each cluster's
     // ancestor terms; threshold 20 must trigger detection
