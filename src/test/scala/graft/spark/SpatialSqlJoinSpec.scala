@@ -144,6 +144,29 @@ class SpatialSqlJoinSpec extends AnyFunSuite {
     assert(joined.collect().map(r => (r.getInt(0), r.getLong(1))).toSet == expected)
   }
 
+  test("user join hints survive the rewrite (BROADCAST plans a broadcast join)") {
+    import spark.implicits._
+    // force shuffle defaults so only the hint can produce a broadcast
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val docs = docsDf(100)
+      docs.createOrReplaceTempView("sqljoin_docs_h")
+      polys.toDF("qid", "poly").createOrReplaceTempView("sqljoin_regions_h")
+      val hinted = spark.sql(
+        """SELECT /*+ BROADCAST(r) */ r.qid, d.doc_id
+           FROM sqljoin_docs_h d JOIN sqljoin_regions_h r
+           ON s2_contains(r.poly, d.lat, d.lng)""")
+      val plan = finalPlan(hinted)
+      assert(plan.contains("_s2_term"), plan) // rewrite engaged
+      assert(plan.contains("BroadcastHashJoin"), plan) // hint preserved
+      val unhinted = spark.sql(
+        """SELECT r.qid, d.doc_id FROM sqljoin_docs_h d JOIN sqljoin_regions_h r
+           ON s2_contains(r.poly, d.lat, d.lng)""")
+      assert(hinted.collect().map(r => (r.getInt(0), r.getLong(1))).toSet ==
+        unhinted.collect().map(r => (r.getInt(0), r.getLong(1))).toSet)
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+
   test("rule also injects via SparkSessionExtensions") {
     val prior = SparkSession.getDefaultSession
     SparkSession.clearActiveSession()
