@@ -73,6 +73,39 @@ object SparkEntry {
     "-20.005:-150.005, -20.005:10.005, 60.005:10.005, 60.005:-150.005"
   private lazy val PSkew: Array[V3] = S2TextFormat.parsePoints(skewPolyText)
 
+  /** Text-format roundtrip kernel for `q_s2_text_format`: builds a
+    * deterministic polygon text (multi-loop quads on a quarter-degree
+    * grid; every 7th row the "empty"/"full" specials of
+    * s2text_format.h:69-412), runs parse → format → parse → format, and
+    * emits (formatted text, vertex count, first parent cell's token,
+    * stability flag = format idempotent AND debug-string/token cell-id
+    * parses agree). */
+  private[graft] def textFormatKernel(i: Int): (String, Int, String, Boolean) = {
+    val text =
+      if (i % 7 == 0) "empty"
+      else if (i % 7 == 1) "Full" // case-insensitive specials
+      else {
+        def loopTxt(base: Int, k: Int): String = (0 until k).map { j =>
+          val lat = ((base + j * 37) % 560) / 4.0 - 70.0
+          val lng = ((base * 3 + j * 91) % 1440) / 4.0 - 180.0
+          s"$lat:$lng"
+        }.mkString(", ")
+        if (i % 2 == 0) loopTxt(i, 3 + i % 4)
+        else loopTxt(i, 3 + i % 4) + "; " + loopTxt(i + 11, 3)
+      }
+    val p1 = S2TextFormat.parsePolygon(text)
+    val f1 = S2TextFormat.polygonToString(p1)
+    val p2 = S2TextFormat.parsePolygon(f1)
+    val f2 = S2TextFormat.polygonToString(p2)
+    val nv = p1.loops.map(l => if (l.isEmpty || l.isFull) 0 else l.vertices.length).sum
+    val cid = S2CellId.parent(S2CellId.fromLatLngDegrees(
+      ((i * 13) % 140) - 70.0, ((i * 29) % 360) - 180.0), 1 + i % 29)
+    val ok = f1 == f2 &&
+      S2TextFormat.parseCellId(S2CellId.toDebugString(cid)) == cid &&
+      S2TextFormat.parseCellId(S2CellId.toToken(cid)) == cid
+    (f1, nv, S2CellId.toToken(cid), ok)
+  }
+
   // trajectory for the polyline-clip query: enters P1 through its west
   // (meridian) edge, exits through its north edge — CLOSED-model clip
   // yields one inside piece and two outside stubs. The .2-offset vertices
@@ -1233,6 +1266,22 @@ object SparkEntry {
           col("r").getItem(1).as("polylines"))
     }),
 
+    "q_s2_text_format" -> ((s, dir) => {
+      // the reference's canonical text grammar, exercised distributed:
+      // parse -> format -> parse roundtrips of multi-loop polygons (incl.
+      // the empty/full specials, case-insensitive) plus debug-string and
+      // token cell-id parses — kernel-golden oracle
+      import s.implicits._
+      val fmtUdf = udf { (i: Int) =>
+        val (rt, nv, tok, ok) = textFormatKernel(i)
+        (rt, nv, tok, ok)
+      }
+      (0 until 200).toDF("i")
+        .select(col("i"), fmtUdf(col("i")).as("r"))
+        .select(col("i"), col("r._1").as("poly_rt"), col("r._2").as("n_vertices"),
+          col("r._3").as("cell_token"), col("r._4").as("stable"))
+    }),
+
     "q_s2_tile_assign" -> ((s, dir) => {
       // 24 tiles = level-2 cells round-robin (S2RegionSharder semantics)
       val level2 = Iterator.iterate(S2CellId.begin(2))(S2CellId.next)
@@ -1611,6 +1660,10 @@ object SparkEntry {
             s"${V3.latDegrees(p)}:${V3.lngDegrees(p)}").mkString(", ")
           s"('$g', $i, '$txt')"
         }
+    }.mkString(", ")
+    val textFormatGold = (0 until 200).map { i =>
+      val (rt, nv, tok, ok) = textFormatKernel(i)
+      s"($i, '$rt', $nv, '$tok', $ok)"
     }.mkString(", ")
     val layerStackGold = (0 until 8).map { i =>
       val r = Builder.layerStackKernel(i)
@@ -2356,6 +2409,12 @@ object SparkEntry {
       "q_s2_layer_stack" -> s"""
         SELECT CAST(i AS INTEGER) AS i, polygon, polylines
         FROM (VALUES $layerStackGold) t(i, polygon, polylines)""",
+
+      "q_s2_text_format" -> s"""
+        SELECT CAST(i AS INTEGER) AS i, poly_rt,
+               CAST(n_vertices AS INTEGER) AS n_vertices, cell_token, stable
+        FROM (VALUES $textFormatGold)
+          t(i, poly_rt, n_vertices, cell_token, stable)""",
 
       "q_s2_simple_covering" -> s"""
         SELECT CAST(cid AS INTEGER) AS cid, cell_token
