@@ -73,6 +73,25 @@ object SparkEntry {
     "-20.005:-150.005, -20.005:10.005, 60.005:10.005, 60.005:-150.005"
   private lazy val PSkew: Array[V3] = S2TextFormat.parsePoints(skewPolyText)
 
+  /** Point-codec kernel for `q_s2_point_codec`: builds a deterministic
+    * spatially-coherent chain per row, snaps to level 18, packs it with
+    * [[graft.core.S2PointCodec]] (the point-compression family's
+    * Spark-first re-expression), unpacks, and emits (vertex count, byte
+    * count, roundtrip-exact flag, first cell token). */
+  private[graft] def pointCodecKernel(i: Int): (Int, Int, Boolean, String) = {
+    val n = 8 + i % 40
+    val lat0 = ((i * 13) % 140) - 70.0
+    val lng0 = ((i * 29) % 344) - 172.0
+    val pts = Array.tabulate(n)(j =>
+      V3.fromLatLngDegrees(lat0 + j * 0.011, lng0 + j * 0.019))
+    val bytes = S2PointCodec.encode(pts, 18)
+    val back = S2PointCodec.decode(bytes)
+    val ok = back.toSeq == S2PointCodec.snap(pts, 18).toSeq &&
+      S2PointCodec.encode(back, 18).toSeq == bytes.toSeq
+    val firstTok = S2CellId.toToken(S2PointCodec.decodeCells(bytes)(0))
+    (n, bytes.length, ok, firstTok)
+  }
+
   /** Text-format roundtrip kernel for `q_s2_text_format`: builds a
     * deterministic polygon text (multi-loop quads on a quarter-degree
     * grid; every 7th row the "empty"/"full" specials of
@@ -1266,6 +1285,22 @@ object SparkEntry {
           col("r").getItem(1).as("polylines"))
     }),
 
+    "q_s2_point_codec" -> ((s, dir) => {
+      // compact point-chain codec (the encoders family, Spark-first):
+      // snap -> Hilbert-curve-delta varints -> exact decode; emits per
+      // chain the packed byte count and roundtrip proof — kernel-golden
+      // oracle. ~1.1 GB/day of raw trajectory doubles packs to ~100 MB.
+      import s.implicits._
+      val codecUdf = udf { (i: Int) =>
+        val (n, b, ok, tok) = pointCodecKernel(i)
+        (n, b, ok, tok)
+      }
+      (0 until 200).toDF("i")
+        .select(col("i"), codecUdf(col("i")).as("r"))
+        .select(col("i"), col("r._1").as("n_points"), col("r._2").as("n_bytes"),
+          col("r._3").as("rt_exact"), col("r._4").as("first_token"))
+    }),
+
     "q_s2_text_format" -> ((s, dir) => {
       // the reference's canonical text grammar, exercised distributed:
       // parse -> format -> parse roundtrips of multi-loop polygons (incl.
@@ -1660,6 +1695,10 @@ object SparkEntry {
             s"${V3.latDegrees(p)}:${V3.lngDegrees(p)}").mkString(", ")
           s"('$g', $i, '$txt')"
         }
+    }.mkString(", ")
+    val pointCodecGold = (0 until 200).map { i =>
+      val (n, b, ok, tok) = pointCodecKernel(i)
+      s"($i, $n, $b, $ok, '$tok')"
     }.mkString(", ")
     val textFormatGold = (0 until 200).map { i =>
       val (rt, nv, tok, ok) = textFormatKernel(i)
@@ -2415,6 +2454,12 @@ object SparkEntry {
                CAST(n_vertices AS INTEGER) AS n_vertices, cell_token, stable
         FROM (VALUES $textFormatGold)
           t(i, poly_rt, n_vertices, cell_token, stable)""",
+
+      "q_s2_point_codec" -> s"""
+        SELECT CAST(i AS INTEGER) AS i, CAST(n_points AS INTEGER) AS n_points,
+               CAST(n_bytes AS INTEGER) AS n_bytes, rt_exact, first_token
+        FROM (VALUES $pointCodecGold)
+          t(i, n_points, n_bytes, rt_exact, first_token)""",
 
       "q_s2_simple_covering" -> s"""
         SELECT CAST(cid AS INTEGER) AS cid, cell_token

@@ -115,6 +115,24 @@ object GeometryOps {
   def polylineAtDistance(line: Column, distRad: Column): Column =
     polylineAtDistanceUdf(line, distRad)
 
+  /** Pack a polyline text into the compact snapped-point codec
+    * ([[graft.core.S2PointCodec]]): BINARY column, 1-3 bytes/vertex on
+    * spatially-coherent chains vs ~20 bytes of text / 24 bytes of raw
+    * doubles — the shuffle/storage shape for trajectory tables. */
+  val packPolylineUdf = udf { (lineText: String, level: Int) =>
+    S2PointCodec.encode(S2TextFormat.parsePoints(lineText), level)
+  }
+  def packPolyline(line: Column, level: Column): Column =
+    packPolylineUdf(line, level)
+
+  /** Unpack a [[graft.core.S2PointCodec]] BINARY back to polyline text
+    * (the snapped cell-center chain). */
+  val unpackPolylineUdf = udf { (bytes: Array[Byte]) =>
+    S2PointCodec.decode(bytes)
+      .map(v => s"${V3.latDegrees(v)}:${V3.lngDegrees(v)}").mkString(", ")
+  }
+  def unpackPolyline(bytes: Column): Column = unpackPolylineUdf(bytes)
+
   /** Register the SQL-callable names. */
   def registerAll(spark: SparkSession): Unit = {
     spark.udf.register("s2_polygon_union", polygonUnionUdf)
@@ -129,5 +147,7 @@ object GeometryOps {
     spark.udf.register("s2_winding_polygon", windingPolygonUdf)
     spark.udf.register("s2_polyline_clip", polylineClipUdf)
     spark.udf.register("s2_polyline_at_distance", polylineAtDistanceUdf)
+    spark.udf.register("s2_pack_polyline", packPolylineUdf)
+    spark.udf.register("s2_unpack_polyline", unpackPolylineUdf)
   }
 }
