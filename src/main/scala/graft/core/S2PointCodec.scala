@@ -71,7 +71,11 @@ object S2PointCodec {
     require(level >= 0 && level <= 30, s"corrupt level byte $level")
     val shift = 2 * (30 - level) + 1
     val n = readVarint(in)
-    require(n >= 0 && n <= Int.MaxValue, s"corrupt count $n")
+    // Every encoded position takes >= 1 byte, so a count beyond the
+    // remaining buffer is corrupt — reject before allocating (a crafted
+    // count byte must not drive a multi-GB Array allocation).
+    require(n >= 0 && n <= bytes.length - in.p,
+      s"corrupt count $n for ${bytes.length - in.p} remaining bytes")
     val out = new Array[Long](n.toInt)
     var pos = 0L
     var i = 0

@@ -59,6 +59,10 @@ class S2PointCodecSpec extends AnyFunSuite {
     intercept[Exception] { S2PointCodec.decodeCells(ok.take(2)) }
     val badVersion = ok.clone(); badVersion(0) = 9
     intercept[IllegalArgumentException] { S2PointCodec.decodeCells(badVersion) }
+    // crafted huge count must be rejected BEFORE the output allocation
+    // (varint 0xFF..0x7F = count ~2^31 against a 3-byte payload)
+    val hugeCount = Array[Byte](1, 12, -1, -1, -1, -1, 7, 0, 0, 0)
+    intercept[IllegalArgumentException] { S2PointCodec.decodeCells(hugeCount) }
   }
 
   test("decoded cells are valid ids of the encoded level") {
