@@ -81,9 +81,19 @@ object S2PointCodec {
     var i = 0
     while (i < n) {
       pos = if (i == 0) readVarint(in) else pos + unzigzag(readVarint(in))
-      out(i) = (pos << 1 | 1L) << (shift - 1)
+      val id = (pos << 1 | 1L) << (shift - 1)
+      // corrupt delta bytes can drive pos off the curve (face > 5 →
+      // downstream MatchError in coordinate conversion) — reject loudly
+      // here so corruption keeps the codec's IllegalArgumentException
+      // contract instead of surfacing as an opaque crash or, worse,
+      // a plausible wrong chain on a face-valid drift.
+      require(S2CellId.isValid(id) && S2CellId.level(id) == level,
+        s"corrupt position $pos at index $i (invalid level-$level cell)")
+      out(i) = id
       i += 1
     }
+    require(in.p == bytes.length,
+      s"corrupt stream: ${bytes.length - in.p} trailing bytes after $n positions")
     out
   }
 

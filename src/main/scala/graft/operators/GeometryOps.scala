@@ -128,8 +128,7 @@ object GeometryOps {
   /** Unpack a [[graft.core.S2PointCodec]] BINARY back to polyline text
     * (the snapped cell-center chain). */
   val unpackPolylineUdf = udf { (bytes: Array[Byte]) =>
-    S2PointCodec.decode(bytes)
-      .map(v => s"${V3.latDegrees(v)}:${V3.lngDegrees(v)}").mkString(", ")
+    S2PointCodec.decode(bytes).map(S2TextFormat.pointToString).mkString(", ")
   }
   def unpackPolyline(bytes: Column): Column = unpackPolylineUdf(bytes)
 

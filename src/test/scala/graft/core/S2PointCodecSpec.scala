@@ -63,6 +63,21 @@ class S2PointCodecSpec extends AnyFunSuite {
     // (varint 0xFF..0x7F = count ~2^31 against a 3-byte payload)
     val hugeCount = Array[Byte](1, 12, -1, -1, -1, -1, 7, 0, 0, 0)
     intercept[IllegalArgumentException] { S2PointCodec.decodeCells(hugeCount) }
+    // trailing garbage after the last position is corruption, not padding
+    intercept[IllegalArgumentException] { S2PointCodec.decodeCells(ok :+ 0.toByte) }
+    // a delta that walks the curve position past face 5 must raise the
+    // codec's own IllegalArgumentException, not a downstream MatchError
+    val offCurve = {
+      val out = new java.io.ByteArrayOutputStream()
+      out.write(1); out.write(4); out.write(2) // version 1, level 4, count 2
+      // first position: max valid level-4 curve pos; delta +2 exits face 5
+      var v = (6L << 8) - 1 // 6 faces * 4^4 cells - 1
+      while ((v & ~0x7FL) != 0) { out.write(((v & 0x7F) | 0x80).toInt); v >>>= 7 }
+      out.write(v.toInt)
+      out.write(4) // zigzag(+2)
+      out.toByteArray
+    }
+    intercept[IllegalArgumentException] { S2PointCodec.decodeCells(offCurve) }
   }
 
   test("decoded cells are valid ids of the encoded level") {
