@@ -206,4 +206,63 @@ class SpatialSqlJoinSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("randomized differential: SQL rewrite == brute force over random region mixes") {
+    import spark.implicits._
+    val docs = docsDf(800).cache()
+    docs.createOrReplaceTempView("sqlfuzz_docs")
+    val rows = docs.collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    for (seed <- 1 to 6) {
+      val rnd = new scala.util.Random(seed * 31 + 5)
+      // quads from tiny (0.5 deg) to continent-scale (75 deg wide), some
+      // crossing the antimeridian — diverse covering shapes stress the
+      // term scheme (coarse ancestors, multi-face coverings)
+      val regTexts = (0 until 5).map { q =>
+        val la = rnd.nextDouble() * 120 - 60
+        val ln = rnd.nextDouble() * 300 - 150
+        val h = 0.5 + rnd.nextDouble() * math.min(25, 84 - la)
+        val w = 0.5 + rnd.nextDouble() * 75
+        (q, f"$la%.4f:$ln%.4f, $la%.4f:${ln + w}%.4f, ${la + h}%.4f:${ln + w}%.4f, ${la + h}%.4f:$ln%.4f")
+      }
+      regTexts.toDF("qid", "poly").createOrReplaceTempView("sqlfuzz_regions")
+      val joined = spark.sql(
+        """SELECT r.qid, d.doc_id FROM sqlfuzz_docs d JOIN sqlfuzz_regions r
+           ON s2_contains(r.poly, d.lat, d.lng)""")
+      val plan = finalPlan(joined)
+      assert(!plan.contains("BroadcastNestedLoopJoin") &&
+        !plan.contains("CartesianProduct"), s"seed $seed: $plan")
+      val parsed = regTexts.map { case (q, t) => (q, S2TextFormat.parsePolygon(t)) }
+      val expected = (for {
+        (id, la, ln) <- rows
+        (q, poly) <- parsed
+        if poly.contains(V3.fromLatLngDegrees(la, ln))
+      } yield (q, id)).toSet
+      val got = joined.collect().map(r => (r.getInt(0), r.getLong(1))).toSet
+      assert(got == expected, s"seed $seed: extra=${(got -- expected).take(3)} " +
+        s"missing=${(expected -- got).take(3)}")
+      assert(expected.nonEmpty, s"seed $seed produced a trivial fixture")
+
+      // same seed's targets through the within-distance path, random radii
+      val targets = (0 until 4).map { q =>
+        (q, rnd.nextDouble() * 140 - 70, rnd.nextDouble() * 360 - 180,
+          0.02 + rnd.nextDouble() * 0.5)
+      }
+      targets.toDF("qid", "t_lat", "t_lng", "radius")
+        .createOrReplaceTempView("sqlfuzz_targets")
+      val wd = spark.sql(
+        """SELECT t.qid, d.doc_id FROM sqlfuzz_docs d JOIN sqlfuzz_targets t
+           ON s2_within_distance(d.lat, d.lng, t.t_lat, t.t_lng, t.radius)""")
+      val wdPlan = finalPlan(wd)
+      assert(!wdPlan.contains("BroadcastNestedLoopJoin") &&
+        !wdPlan.contains("CartesianProduct"), s"seed $seed: $wdPlan")
+      val wdExpected = (for {
+        (id, la, ln) <- rows
+        (q, tla, tln, rad) <- targets
+        if (V3.fromLatLngDegrees(la, ln) - V3.fromLatLngDegrees(tla, tln)).norm2 <=
+          S1ChordAngle.fromRadians(rad)
+      } yield (q, id)).toSet
+      val wdGot = wd.collect().map(r => (r.getInt(0), r.getLong(1))).toSet
+      assert(wdGot == wdExpected, s"seed $seed within-distance mismatch")
+    }
+  }
 }
