@@ -75,4 +75,26 @@ object TableIO {
       .where(col("cell_part").isin(keep.toIndexedSeq: _*))
       .where(refine(col(latCol), col(lngCol)))
   }
+
+  /** Write `df` (must carry cell_id/cell_ord) BUCKETED by the
+    * level-`partLevel` ancestor cell token, bucket-sorted by
+    * (cell_part, cell_ord). Repeated equi-joins on `cell_part` —
+    * co-location joins, incremental batch×batch matching, daily
+    * dedup-against-corpus — then read both sides pre-shuffled AND
+    * pre-sorted: Spark's bucketed scan aligns buckets one-to-one and
+    * plans a SortMergeJoin with ZERO Exchange and no per-run sort. At
+    * 100 TB the shuffle this amortizes away IS the dominant job cost;
+    * paying it once at write time is the table-design analogue of the
+    * reference building its S2PointIndex once and querying it many times
+    * (s2point_index.h:30-58). Registers `table` in the session catalog
+    * (parquet under spark.sql.warehouse.dir). */
+  def writeBucketed(df: DataFrame, table: String, numBuckets: Int = 64,
+                    partLevel: Int = 4): Unit = {
+    df.withColumn("cell_part", S2.token(S2.parent(col("cell_id"), partLevel)))
+      .write.mode("overwrite")
+      .bucketBy(numBuckets, "cell_part")
+      .sortBy("cell_part", "cell_ord")
+      .format("parquet")
+      .saveAsTable(table)
+  }
 }

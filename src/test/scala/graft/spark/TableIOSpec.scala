@@ -48,4 +48,44 @@ class TableIOSpec extends AnyFunSuite {
       .count()
     assert(viol == 0)
   }
+
+  test("bucketed co-location join: both sides pre-shuffled, zero exchanges") {
+    val docsA = S2Joins.withCellId(DocSource.docs(spark, 3000L),
+      col("lat"), col("lng"))
+    val docsB = S2Joins.withCellId(DocSource.docs(spark, 3001L),
+      col("lat"), col("lng"))
+    TableIO.writeBucketed(docsA, "graft_bkt_a", numBuckets = 8, partLevel = 4)
+    TableIO.writeBucketed(docsB, "graft_bkt_b", numBuckets = 8, partLevel = 4)
+    // disable broadcast so only bucket alignment can avoid the shuffle
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val a = spark.table("graft_bkt_a")
+        .select(col("doc_id").as("a_id"), col("cell_part"))
+      val b = spark.table("graft_bkt_b")
+        .select(col("doc_id").as("b_id"), col("cell_part"))
+      val joined = a.join(b, "cell_part")
+      val got = joined.collect().length.toLong
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"bucketed join should read pre-shuffled buckets:\n$plan")
+      assert(plan.contains("SortMergeJoin"), plan)
+      // multiset cardinality equals the per-key product of side counts
+      val cA = docsA
+        .withColumn("cell_part", graft.functions.S2.token(
+          graft.functions.S2.parent(col("cell_id"), 4)))
+        .groupBy("cell_part").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val cB = docsB
+        .withColumn("cell_part", graft.functions.S2.token(
+          graft.functions.S2.parent(col("cell_id"), 4)))
+        .groupBy("cell_part").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val expected = cA.map { case (k, n) => n * cB.getOrElse(k, 0L) }.sum
+      assert(got == expected && expected > 0, s"got $got expected $expected")
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.sql("DROP TABLE IF EXISTS graft_bkt_a")
+      spark.sql("DROP TABLE IF EXISTS graft_bkt_b")
+    }
+  }
 }
