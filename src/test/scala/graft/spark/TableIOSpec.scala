@@ -49,6 +49,44 @@ class TableIOSpec extends AnyFunSuite {
     assert(viol == 0)
   }
 
+  test("dynamic partition pruning fires when covering tokens arrive as a table") {
+    // scanRegion prunes with literal tokens; when the coverings live in
+    // another TABLE (precomputed region coverings, a tile manifest), the
+    // same skip must happen at runtime via Spark's DPP — the plan carries
+    // a dynamicpruning subquery on cell_part instead of scanning all
+    // partitions. At 100 TB this is the difference between reading 6
+    // partitions and reading the table.
+    val docs = S2Joins.withCellId(DocSource.docs(spark, 4200L),
+      col("lat"), col("lng"))
+    val path = java.nio.file.Files.createTempDirectory("graft-dpp").toString + "/docs"
+    TableIO.writeSpatial(docs, path, partLevel = 3)
+    // a coverings TABLE (qid -> partition token) for three regions;
+    // the query selects one region — the selective filter Spark's DPP
+    // rule needs to justify the pruning subquery
+    val regions = Seq(
+      1 -> S2Cap.fromCenterAngle(V3.fromLatLngDegrees(20, 30), 0.25),
+      2 -> S2Cap.fromCenterAngle(V3.fromLatLngDegrees(-40, -100), 0.2),
+      3 -> S2Cap.fromCenterAngle(V3.fromLatLngDegrees(55, 140), 0.15))
+    import spark.implicits._
+    val covPath = path + "_coverings"
+    regions.flatMap { case (q, r) =>
+      TableIO.partitionsForRegion(path, r).map(t => (q, t))
+    }.toDF("qid", "tok").write.mode("overwrite").parquet(covPath)
+    // materialized dim (a LocalRelation would constant-fold the filter
+    // away before the PartitionPruning rule looks for it)
+    val covDf = spark.read.parquet(covPath)
+    val joined = TableIO.readSpatial(spark, path)
+      .join(broadcast(covDf.where(col("qid") === 1)),
+        col("cell_part") === col("tok"))
+    val n = joined.count()
+    val toks1 = TableIO.partitionsForRegion(path, regions.head._2)
+    val expected = TableIO.readSpatial(spark, path)
+      .where(col("cell_part").isin(toks1.toIndexedSeq: _*)).count()
+    assert(n == expected && n > 0)
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning"), plan)
+  }
+
   test("bucketed co-location join: both sides pre-shuffled, zero exchanges") {
     val docsA = S2Joins.withCellId(DocSource.docs(spark, 3000L),
       col("lat"), col("lng"))
