@@ -177,4 +177,38 @@ class PlanAuditSpec extends AnyFunSuite {
     assert("HashAggregate".r.findAllIn(plan).length >= 2, plan)
     assert(plan.contains("md5"), plan)
   }
+
+  test("AQE skew-split backstop engages on a hot join key (thresholds scaled down)") {
+    // BENCH/BASELINE documents AQE's OptimizeSkewedJoin as the backstop
+    // behind our explicit salting; this proves the backstop is real, not
+    // assumed. Thresholds are scaled to unit-test data — the same ratios
+    // Spark applies at 256 MB partitions on a cluster.
+    import spark.implicits._
+    val confs = Seq(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1.2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "8KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "8KB",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prior = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      // 90% of the left side lands on one key; right side is uniform
+      val left = (0 until 60000).map { i =>
+        (if (i % 10 == 0) i.toLong % 97 else 7L, s"payload-$i-${"x" * 40}")
+      }.toDF("k", "payload")
+      val right = (0L until 97L).map(k => (k, s"dim-$k")).toDF("k", "dim")
+        .repartition(4) // defeat LocalRelation so the join shuffles both sides
+      val joined = left.join(right, "k")
+      assert(joined.collect().length == 60000) // executes THIS plan (AQE finalizes)
+      val finalPlan = joined.queryExecution.executedPlan.toString
+      assert(finalPlan.contains("skew=true"),
+        s"AQE did not split the hot partition:\n$finalPlan")
+    } finally prior.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
 }
