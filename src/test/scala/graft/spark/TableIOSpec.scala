@@ -49,6 +49,32 @@ class TableIOSpec extends AnyFunSuite {
     assert(viol == 0)
   }
 
+  test("cell_ord range predicates reach the parquet scan as pushed filters") {
+    // the Hilbert physical-design claim: rows are written cell_ord-sorted,
+    // so a covering cell's [rangeMin, rangeMax] interval must arrive at
+    // the parquet reader as pushed min/max filters — row groups outside
+    // the interval are skipped without decode, the file-level analogue of
+    // S2CellUnion::Contains binary search (s2cell_union.h:180-195)
+    val docs = S2Joins.withCellId(DocSource.docs(spark, 2600L),
+      col("lat"), col("lng"))
+    val path = java.nio.file.Files.createTempDirectory("graft-ord").toString + "/docs"
+    TableIO.writeSpatial(docs, path, partLevel = 3)
+    val probe = S2CellId.parent(
+      S2CellId.fromLatLngDegrees(20.0, 30.0), 8)
+    val lo = S2CellId.orderKey(S2CellId.rangeMin(probe))
+    val hi = S2CellId.orderKey(S2CellId.rangeMax(probe))
+    val scanned = TableIO.readSpatial(spark, path)
+      .where(col("cell_ord") >= lo && col("cell_ord") <= hi)
+      .select("doc_id", "cell_ord")
+    scanned.collect()
+    val plan = scanned.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [") &&
+      plan.contains("GreaterThanOrEqual(cell_ord") &&
+      plan.contains("LessThanOrEqual(cell_ord"), plan)
+    // and the projection pruned the wide spans column out of the read
+    assert(plan.contains("ReadSchema") && !plan.contains("spans:array"), plan)
+  }
+
   test("dynamic partition pruning fires when covering tokens arrive as a table") {
     // scanRegion prunes with literal tokens; when the coverings live in
     // another TABLE (precomputed region coverings, a tile manifest), the
