@@ -1298,6 +1298,69 @@ object SparkEntry {
       out
     }),
 
+    "q_stream_sessions" -> ((s, dir) => {
+      // REAL stateful streaming inside the driver gate: event-time
+      // spatial sessionization (flatMapGroupsWithState + EventTimeTimeout)
+      // over a deterministic 6-micro-batch MemoryStream. Each entity
+      // pings 3x from its fixed location (minutes d..d+2, d = id%5, fed
+      // out of order inside the batch), a sentinel pair advances the
+      // watermark past last-ping + gap so those visits CLOSE, then 2 more
+      // pings at minutes d+90..d+91 REOPEN the same (entity, cell) key as
+      // a second visit, closed by a final sentinel pair. The oracle is
+      // pure arithmetic over documents + the kernel-golden level-4
+      // tokens: the stream's state handling (in-batch disorder merge,
+      // close-on-watermark, state removal, reopen) must reproduce it
+      // exactly. The sentinel's own open visit never appears (filtered,
+      // and its final visit never times out).
+      import s.implicits._
+      implicit val sq = s.sqlContext
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import org.apache.spark.sql.streaming.OutputMode
+      val baseMs = 1767225600000L // 2026-01-01T00:00:00Z
+      def ping(id: Long, minute: Double): (Long, java.sql.Timestamp, Double, Double) =
+        (id, new java.sql.Timestamp(baseMs + (minute * 60000L).toLong),
+          (id * 7919 % 17000) / 100.0 - 85.0, (id * 104729 % 36000) / 100.0 - 180.0)
+      val ids = s.read.parquet(s"$dir/documents.parquet")
+        .select("doc_id").where(col("doc_id") < 200)
+        .collect().map(_.getLong(0)).sorted.toSeq
+      val mem = MemoryStream[(Long, java.sql.Timestamp, Double, Double)]
+      val stream = graft.streaming.StreamOps.withCellId(
+        mem.toDF().toDF("entity", "ts", "lat", "lng"), "lat", "lng")
+      val visits = graft.streaming.StreamOps.visitSessions(
+        stream, "entity", "ts", level = 4, lateness = "5 minutes",
+        gapSeconds = 600)
+      val sink = "q_stream_sessions_sink"
+      val q = visits.writeStream.format("memory").queryName(sink)
+        .outputMode(OutputMode.Append()).start()
+      try {
+        // visit 1: three pings per entity, deliberately disordered
+        mem.addData(ids.flatMap(id => Seq(1, 0, 2).map(k =>
+          ping(id, (id % 5 + k).toDouble))))
+        q.processAllAvailable()
+        mem.addData(Seq(ping(9999998L, 60.0))) // push watermark past gap
+        q.processAllAvailable()
+        mem.addData(Seq(ping(9999998L, 61.0))) // timeout pass: visit 1 closes
+        q.processAllAvailable()
+        // visit 2: same keys reopen well past the gap
+        mem.addData(ids.flatMap(id => Seq(0, 1).map(k =>
+          ping(id, (id % 5 + 90 + k).toDouble))))
+        q.processAllAvailable()
+        mem.addData(Seq(ping(9999998L, 200.0)))
+        q.processAllAvailable()
+        mem.addData(Seq(ping(9999998L, 201.0))) // visit 2 closes
+        q.processAllAvailable()
+      } finally q.stop()
+      val out = s.table(sink)
+        .where(col("entity") < 200) // the sentinel's own closed visit
+        .select(col("entity"), S2.token(col("cell")).as("cell_token"),
+          (col("enter_ts") / 1000).cast("long").as("enter_s"),
+          (col("exit_ts") / 1000).cast("long").as("exit_s"),
+          col("n_pings"))
+        .cache()
+      out.count()
+      out
+    }),
+
     "q_s2_layer_stack" -> ((s, dir) => {
       // general S2Builder layer stack, one stack per row, distributed as
       // a deterministic UDF kernel: a quad polygon layer + a diagonal
@@ -2465,6 +2528,16 @@ object SparkEntry {
         JOIN (VALUES $l4Gold500) v(doc_id, cell_token) ON d.doc_id = v.doc_id
         WHERE d.doc_id < 500
         GROUP BY 1, 2""",
+
+      "q_stream_sessions" -> s"""
+        SELECT d.doc_id AS entity, v.cell_token,
+               CAST(1767225600 + (d.doc_id % 5 + s.off0) * 60 AS BIGINT) AS enter_s,
+               CAST(1767225600 + (d.doc_id % 5 + s.off1) * 60 AS BIGINT) AS exit_s,
+               CAST(s.n AS BIGINT) AS n_pings
+        FROM documents d
+        JOIN (VALUES $l4Gold500) v(doc_id, cell_token) ON d.doc_id = v.doc_id
+        CROSS JOIN (VALUES (0, 2, 3), (90, 91, 2)) s(off0, off1, n)
+        WHERE d.doc_id < 200""",
 
       "q_s2_layer_stack" -> s"""
         SELECT CAST(i AS INTEGER) AS i, polygon, polylines
