@@ -1361,6 +1361,53 @@ object SparkEntry {
       out
     }),
 
+    "q_stream_coloc" -> ((s, dir) => {
+      // REAL stream-stream co-location join inside the driver gate: two
+      // MemoryStreams (A pings at minute id%7, B at minute id%7+3, each
+      // entity from its fixed location), joined on same level-4 cell
+      // within a 4-minute event-time gap. Inner interval joins emit
+      // eagerly on match, so two batches suffice; the oracle is a
+      // documents self-join over the kernel-golden level-4 tokens with
+      // the |Δt| bound as plain arithmetic — every same-cell pair
+      // (including each entity with itself, Δt = 3 min) must appear
+      // exactly once.
+      import s.implicits._
+      implicit val sq = s.sqlContext
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import org.apache.spark.sql.streaming.OutputMode
+      val baseMs = 1767225600000L
+      def ping(id: Long, minute: Double): (Long, java.sql.Timestamp, Double, Double) =
+        (id, new java.sql.Timestamp(baseMs + (minute * 60000L).toLong),
+          (id * 7919 % 17000) / 100.0 - 85.0, (id * 104729 % 36000) / 100.0 - 180.0)
+      val ids = s.read.parquet(s"$dir/documents.parquet")
+        .select("doc_id").where(col("doc_id") < 150)
+        .collect().map(_.getLong(0)).sorted.toSeq
+      val memA = MemoryStream[(Long, java.sql.Timestamp, Double, Double)]
+      val memB = MemoryStream[(Long, java.sql.Timestamp, Double, Double)]
+      def cellify(m: MemoryStream[(Long, java.sql.Timestamp, Double, Double)]) =
+        graft.streaming.StreamOps.withCellId(
+          m.toDF().toDF("id", "ts", "lat", "lng"), "lat", "lng")
+      val joined = graft.streaming.StreamOps.coLocationJoin(
+        cellify(memA), cellify(memB), level = 4,
+        idColA = "id", idColB = "id", tsColA = "ts", tsColB = "ts",
+        lateness = "5 minutes", maxGapSeconds = 240)
+      val sink = "q_stream_coloc_sink"
+      val q = joined.writeStream.format("memory").queryName(sink)
+        .outputMode(OutputMode.Append()).start()
+      try {
+        memA.addData(ids.map(id => ping(id, (id % 7).toDouble)))
+        q.processAllAvailable()
+        memB.addData(ids.map(id => ping(id, (id % 7 + 3).toDouble)))
+        q.processAllAvailable()
+      } finally q.stop()
+      val out = s.table(sink)
+        .select(col("a_id"), col("b_id"), S2.token(col("a_cell")).as("cell_token"),
+          unix_timestamp(col("a_ts")).as("a_s"), unix_timestamp(col("b_ts")).as("b_s"))
+        .cache()
+      out.count()
+      out
+    }),
+
     "q_s2_layer_stack" -> ((s, dir) => {
       // general S2Builder layer stack, one stack per row, distributed as
       // a deterministic UDF kernel: a quad polygon layer + a diagonal
@@ -2528,6 +2575,17 @@ object SparkEntry {
         JOIN (VALUES $l4Gold500) v(doc_id, cell_token) ON d.doc_id = v.doc_id
         WHERE d.doc_id < 500
         GROUP BY 1, 2""",
+
+      "q_stream_coloc" -> s"""
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id, va.cell_token,
+               CAST(1767225600 + (a.doc_id % 7) * 60 AS BIGINT) AS a_s,
+               CAST(1767225600 + (b.doc_id % 7 + 3) * 60 AS BIGINT) AS b_s
+        FROM documents a
+        JOIN (VALUES $l4Gold500) va(doc_id, cell_token) ON a.doc_id = va.doc_id
+        JOIN (VALUES $l4Gold500) vb(doc_id, cell_token) ON vb.cell_token = va.cell_token
+        JOIN documents b ON b.doc_id = vb.doc_id
+        WHERE a.doc_id < 150 AND b.doc_id < 150
+          AND abs((a.doc_id % 7) - (b.doc_id % 7 + 3)) <= 4""",
 
       "q_stream_sessions" -> s"""
         SELECT d.doc_id AS entity, v.cell_token,
