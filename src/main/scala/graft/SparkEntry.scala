@@ -1361,6 +1361,41 @@ object SparkEntry {
       out
     }),
 
+    "q_stream_dedup" -> ((s, dir) => {
+      // REAL cross-batch streaming exact dedup inside the driver gate:
+      // batch 1 streams the even-id documents, batch 2 the odd ids PLUS
+      // re-keyed copies of every 7th even document's text — the copies
+      // must be suppressed by batch-1 state (re-emission would surface as
+      // extra rows). Representative = min id of the first-seen batch,
+      // which the oracle mirrors as a normText GROUP BY with
+      // even-id-preferred min selection.
+      import s.implicits._
+      implicit val sq = s.sqlContext
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      val rows = s.read.parquet(s"$dir/documents.parquet")
+        .select("doc_id", "text").where(col("doc_id") < 400)
+        .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq
+      val mem = MemoryStream[(Long, String)]
+      val dedup = graft.streaming.StreamOps.streamingExactDedup(
+        mem.toDF().toDF("doc_id", "text"), "doc_id", "text")
+      val sink = "q_stream_dedup_sink"
+      val q = dedup.writeStream.format("memory").queryName(sink)
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Append()).start()
+      try {
+        mem.addData(rows.filter(_._1 % 2 == 0))
+        q.processAllAvailable()
+        mem.addData(rows.filter(_._1 % 2 == 1) ++
+          rows.filter(r => r._1 % 2 == 0 && r._1 % 7 == 0)
+            .map { case (id, t) => (id + 1000000L, t) })
+        q.processAllAvailable()
+      } finally q.stop()
+      // content_hash is Spark xxhash64 (no DuckDB mirror) — the kept ids
+      // alone pin the dedup decisions exactly
+      val out = s.table(sink).select(col("doc_id")).cache()
+      out.count()
+      out
+    }),
+
     "q_stream_coloc" -> ((s, dir) => {
       // REAL stream-stream co-location join inside the driver gate: two
       // MemoryStreams (A pings at minute id%7, B at minute id%7+3, each
@@ -2575,6 +2610,12 @@ object SparkEntry {
         JOIN (VALUES $l4Gold500) v(doc_id, cell_token) ON d.doc_id = v.doc_id
         WHERE d.doc_id < 500
         GROUP BY 1, 2""",
+
+      "q_stream_dedup" -> """
+        SELECT CAST(coalesce(min(CASE WHEN doc_id % 2 = 0 THEN doc_id END),
+                             min(doc_id)) AS BIGINT) AS doc_id
+        FROM documents WHERE doc_id < 400
+        GROUP BY trim(regexp_replace(lower(text), '\s+', ' ', 'g'))""",
 
       "q_stream_coloc" -> s"""
         SELECT a.doc_id AS a_id, b.doc_id AS b_id, va.cell_token,
