@@ -1396,6 +1396,56 @@ object SparkEntry {
       out
     }),
 
+    "q_stream_dedup_bounded" -> ((s, dir) => {
+      // REAL bounded-state streaming dedup (dropDuplicatesWithinWatermark)
+      // inside the driver gate, with the EVICTION semantics pinned: 60
+      // synthetic contents stream once (kept), re-stream within the
+      // lateness bound (dropped via state), then a sentinel pushes the
+      // watermark far past every event time + delay (state evicted), and
+      // the same contents re-stream (RE-ADMITTED — the bounded-state
+      // tradeoff made visible), followed by one more duplicate wave
+      // (dropped again via the fresh state). The kept set is pure
+      // arithmetic: ids 0-59 and 180-239. Duplicates always arrive in a
+      // LATER batch than their first-seen, so no within-batch keep-order
+      // nondeterminism exists.
+      import s.implicits._
+      implicit val sq = s.sqlContext
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      val baseMs = 1767225600000L
+      def row(id: Long, minute: Long): (Long, java.sql.Timestamp, String) =
+        (id, new java.sql.Timestamp(baseMs + minute * 60000L), s"t-${id % 60}")
+      val ids = s.read.parquet(s"$dir/documents.parquet")
+        .select("doc_id").where(col("doc_id") < 300)
+        .collect().map(_.getLong(0)).sorted.toSeq
+      val mem = MemoryStream[(Long, java.sql.Timestamp, String)]
+      val dedup = graft.streaming.StreamOps.streamingDedupBounded(
+        mem.toDF().toDF("doc_id", "ts", "text"), "doc_id", "text", "ts",
+        lateness = "10 minutes")
+      val sink = "q_stream_dedup_bounded_sink"
+      val q = dedup.writeStream.format("memory").queryName(sink)
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Append()).start()
+      try {
+        mem.addData(ids.filter(_ < 60).map(id => row(id, id % 5)))
+        q.processAllAvailable()
+        mem.addData(ids.filter(id => id >= 60 && id < 180).map(row(_, 3)))
+        q.processAllAvailable()
+        mem.addData(Seq((9999998L,
+          new java.sql.Timestamp(baseMs + 500 * 60000L), "sentinel")))
+        q.processAllAvailable()
+        mem.addData(ids.filter(id => id >= 180 && id < 240)
+          .map(id => row(id, 495 + id % 3)))
+        q.processAllAvailable()
+        mem.addData(ids.filter(_ >= 240).map(row(_, 496)))
+        q.processAllAvailable()
+      } finally q.stop()
+      val out = s.table(sink)
+        .where(col("doc_id") < 300) // drop the watermark sentinel
+        .select(col("doc_id"), unix_timestamp(col("ts")).as("ts_s"))
+        .cache()
+      out.count()
+      out
+    }),
+
     "q_stream_coloc" -> ((s, dir) => {
       // REAL stream-stream co-location join inside the driver gate: two
       // MemoryStreams (A pings at minute id%7, B at minute id%7+3, each
@@ -2616,6 +2666,14 @@ object SparkEntry {
                              min(doc_id)) AS BIGINT) AS doc_id
         FROM documents WHERE doc_id < 400
         GROUP BY trim(regexp_replace(lower(text), '\s+', ' ', 'g'))""",
+
+      "q_stream_dedup_bounded" -> """
+        SELECT CAST(doc_id AS BIGINT) AS doc_id,
+               CAST(1767225600 + (CASE WHEN doc_id < 60 THEN doc_id % 5
+                                       ELSE 495 + doc_id % 3 END) * 60
+                    AS BIGINT) AS ts_s
+        FROM documents
+        WHERE doc_id < 60 OR (doc_id >= 180 AND doc_id < 240)""",
 
       "q_stream_coloc" -> s"""
         SELECT a.doc_id AS a_id, b.doc_id AS b_id, va.cell_token,
