@@ -1396,6 +1396,41 @@ object SparkEntry {
       out
     }),
 
+    "q_stream_neardup" -> ((s, dir) => {
+      // REAL streaming bucket-reserving MinHash-LSH near-dup filter inside
+      // the driver gate: batch 1 streams the even-id documents, batch 2
+      // the odd ids plus ' zz qq'-suffixed near-dup copies of every 10th
+      // doc (they share band buckets with their batch-1 originals and
+      // must be suppressed). The oracle replays the exact greedy
+      // semantics in DuckDB — mod-Mersenne band keys, first-seen-batch
+      // bucket reservation, min-id within-batch representative, all-bands
+      // conjunction — so stream-order greedy (NOT connected components)
+      // is pinned row-exactly.
+      import s.implicits._
+      implicit val sq = s.sqlContext
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      val rows = s.read.parquet(s"$dir/documents.parquet")
+        .select("doc_id", "text").where(col("doc_id") < 300)
+        .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq
+      val mem = MemoryStream[(Long, String)]
+      val admitted = graft.streaming.StreamOps.streamingNearDupFilter(
+        mem.toDF().toDF("doc_id", "text"), "doc_id", "text")
+      val sink = "q_stream_neardup_sink"
+      val q = admitted.writeStream.format("memory").queryName(sink)
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Update()).start()
+      try {
+        mem.addData(rows.filter(_._1 % 2 == 0))
+        q.processAllAvailable()
+        mem.addData(rows.filter(_._1 % 2 == 1) ++
+          rows.filter(r => r._1 % 2 == 0 && r._1 % 5 == 0)
+            .map { case (id, t) => (id + 2000000L, t + " zz qq") })
+        q.processAllAvailable()
+      } finally q.stop()
+      val out = s.table(sink).select(col("doc_id")).cache()
+      out.count()
+      out
+    }),
+
     "q_stream_dedup_bounded" -> ((s, dir) => {
       // REAL bounded-state streaming dedup (dropDuplicatesWithinWatermark)
       // inside the driver gate, with the EVICTION semantics pinned: 60
@@ -2666,6 +2701,55 @@ object SparkEntry {
                              min(doc_id)) AS BIGINT) AS doc_id
         FROM documents WHERE doc_id < 400
         GROUP BY trim(regexp_replace(lower(text), '\s+', ' ', 'g'))""",
+
+      "q_stream_neardup" -> {
+        // same mod-Mersenne band-key machinery as the q_dedup_minhash
+        // mirror, then the stream's greedy admit rule in set algebra:
+        // admitted iff EVERY band key is first seen in the doc's own
+        // batch AND the doc is that batch's min-id carrier of the key
+        val M = graft.operators.Dedup.HashM
+        val B = graft.operators.Dedup.HashB
+        val shingleHorner =
+          s"""list_reduce(list_transform(range(1, length(s) + 1),
+              ci -> CAST(unicode(substr(s, CAST(ci AS INTEGER), 1)) AS BIGINT)),
+              (a, c) -> (a * $B + c) % $M)"""
+        val minsExprs = (0 until 64).map { k =>
+          val a = graft.operators.Dedup.FamilyA(k)
+          val b = graft.operators.Dedup.FamilyB(k)
+          s"list_min(list_transform(hs, h -> ($a * h + $b) % $M))"
+        }
+        val bandExprs = (0 until 16).map { b =>
+          val key = (0 until 4).foldLeft("CAST(0 AS BIGINT)") { (acc, r) =>
+            s"((($acc) * $B + mins[${b * 4 + r + 1}]) % $M)"
+          }
+          s"(CAST($b AS BIGINT) * 4294967296 + $key)"
+        }
+        s"""WITH aug AS (
+              SELECT doc_id, doc_id % 2 AS batch, text
+              FROM documents WHERE doc_id < 300
+              UNION ALL
+              SELECT doc_id + 2000000 AS doc_id, 1 AS batch,
+                     text || ' zz qq' AS text
+              FROM documents WHERE doc_id < 300 AND doc_id % 5 = 0
+                AND doc_id % 2 = 0),
+            sgl AS (SELECT doc_id, batch, ${shingleSql("text")} AS sgl FROM aug),
+            hs AS (SELECT doc_id, batch,
+                          list_transform(sgl, s -> $shingleHorner) AS hs
+                   FROM sgl WHERE len(sgl) > 0),
+            m AS (SELECT doc_id, batch, [${minsExprs.mkString(", ")}] AS mins FROM hs),
+            bands AS (SELECT doc_id, batch,
+                             unnest([${bandExprs.mkString(", ")}]) AS bk FROM m),
+            firstb AS (SELECT bk, min(batch) AS fb FROM bands GROUP BY bk),
+            owner AS (SELECT bk, batch, min(doc_id) AS rep
+                      FROM bands GROUP BY bk, batch)
+            SELECT CAST(b.doc_id AS BIGINT) AS doc_id
+            FROM bands b
+            JOIN firstb f ON f.bk = b.bk
+            JOIN owner o ON o.bk = b.bk AND o.batch = b.batch
+            GROUP BY b.doc_id
+            HAVING min(CASE WHEN f.fb = b.batch AND o.rep = b.doc_id
+                            THEN 1 ELSE 0 END) = 1"""
+      },
 
       "q_stream_dedup_bounded" -> """
         SELECT CAST(doc_id AS BIGINT) AS doc_id,
