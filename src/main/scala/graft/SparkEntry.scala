@@ -1396,6 +1396,76 @@ object SparkEntry {
       out
     }),
 
+    "q_stream_counts" -> ((s, dir) => {
+      // REAL stateful per-cell running counts (mapGroupsWithState, Update
+      // mode) inside the driver gate: the geo documents stream in two
+      // micro-batches; the update-mode sink records every per-cell
+      // emission, and because counts are MONOTONE the final state per
+      // cell is its max — checked against the plain GROUP BY over the
+      // kernel-golden level-4 tokens. lastSeenMs is processing time
+      // (wall clock) and is projected away.
+      import s.implicits._
+      implicit val sq = s.sqlContext
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      val pts = docsGeo(s, dir).select("doc_id", "lat", "lng")
+        .where(col("doc_id") < 500)
+        .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+        .sortBy(_._1).toSeq
+      val mem = MemoryStream[(Long, Double, Double)]
+      val counts = graft.streaming.StreamOps.runningCellCounts(
+        graft.streaming.StreamOps.withCellId(
+          mem.toDF().toDF("doc_id", "lat", "lng"), "lat", "lng"), level = 4)
+      val sink = "q_stream_counts_sink"
+      val q = counts.writeStream.format("memory").queryName(sink)
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Update()).start()
+      try {
+        val (a, b) = pts.partition(_._1 % 2 == 0)
+        mem.addData(a); q.processAllAvailable()
+        mem.addData(b); q.processAllAvailable()
+      } finally q.stop()
+      val out = s.table(sink)
+        .groupBy(col("cell"))
+        .agg(max(col("count")).as("weight"))
+        .select(S2.token(col("cell")).as("cell_token"), col("weight"))
+        .cache()
+      out.count()
+      out
+    }),
+
+    "q_stream_tag" -> ((s, dir) => {
+      // REAL continuous region tagging inside the driver gate: the geo
+      // documents stream through the broadcast contains-tagger in two
+      // micro-batches, hits explode to (doc_id, qid), and the result is
+      // checked row-exact against the same independent crossing-parity
+      // PIP oracle the batch q_s2_pip_join gate uses.
+      import s.implicits._
+      implicit val sq = s.sqlContext
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      val regions: Seq[(Int, S2Region)] = Seq(
+        1 -> new S2Polygon(Array(S2Loop(P1))),
+        2 -> new S2Polygon(Array(S2Loop(P2))))
+      val pts = docsGeo(s, dir).select("doc_id", "lat", "lng")
+        .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+        .sortBy(_._1).toSeq
+      val mem = MemoryStream[(Long, Double, Double)]
+      val tagged = graft.streaming.StreamOps.streamingContainsTag(
+        graft.streaming.StreamOps.withCellId(
+          mem.toDF().toDF("doc_id", "lat", "lng"), "lat", "lng"), regions)
+      val sink = "q_stream_tag_sink"
+      val q = tagged.writeStream.format("memory").queryName(sink)
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Append()).start()
+      try {
+        val (a, b) = pts.partition(_._1 % 2 == 0)
+        mem.addData(a); q.processAllAvailable()
+        mem.addData(b); q.processAllAvailable()
+      } finally q.stop()
+      val out = s.table(sink)
+        .select(col("doc_id"), explode(col("region_hits")).as("qid"))
+        .cache()
+      out.count()
+      out
+    }),
+
     "q_stream_neardup" -> ((s, dir) => {
       // REAL streaming bucket-reserving MinHash-LSH near-dup filter inside
       // the driver gate: batch 1 streams the even-id documents, batch 2
@@ -2701,6 +2771,20 @@ object SparkEntry {
                              min(doc_id)) AS BIGINT) AS doc_id
         FROM documents WHERE doc_id < 400
         GROUP BY trim(regexp_replace(lower(text), '\s+', ' ', 'g'))""",
+
+      "q_stream_counts" -> s"""
+        SELECT v.cell_token, CAST(count(*) AS BIGINT) AS weight
+        FROM documents d
+        JOIN (VALUES $l4Gold500) v(doc_id, cell_token) ON d.doc_id = v.doc_id
+        WHERE d.doc_id < 500
+        GROUP BY v.cell_token""",
+
+      "q_stream_tag" -> s"""
+        SELECT CAST(doc_id AS BIGINT) AS doc_id, 1 AS qid
+        FROM $docsXyzSql p WHERE ${pipWhere(P1)}
+        UNION ALL
+        SELECT CAST(doc_id AS BIGINT) AS doc_id, 2 AS qid
+        FROM $docsXyzSql p WHERE ${pipWhere(P2)}""",
 
       "q_stream_neardup" -> {
         // same mod-Mersenne band-key machinery as the q_dedup_minhash
