@@ -327,6 +327,19 @@ object SparkEntry {
       (cid, S2CellId.parent(S2CellId.fromLatLngDegrees(lat, lng), 5))
     }
 
+  /** Shared epoch base for the streaming gates (2026-01-01T00:00:00Z). */
+  private val StreamBaseMs = 1767225600000L
+
+  /** One streaming ping at `minute` past [[StreamBaseMs]] from the
+    * entity's deterministic doc-grid location — the SAME formula as
+    * [[docsGeo]]/leafOf, so the kernel-golden cell tokens mirror the
+    * streamed locations. Edit the grid in ONE place or the streaming
+    * gates silently diverge from their oracles. */
+  private def streamPing(id: Long, minute: Double)
+      : (Long, java.sql.Timestamp, Double, Double) =
+    (id, new java.sql.Timestamp(StreamBaseMs + (minute * 60000L).toLong),
+      (id * 7919 % 17000) / 100.0 - 85.0, (id * 104729 % 36000) / 100.0 - 180.0)
+
   /** documents + derived deterministic geometry (see object doc). */
   private[graft] def docsGeo(s: SparkSession, dir: String): DataFrame =
     S2Joins.withCellId(
@@ -1260,10 +1273,7 @@ object SparkEntry {
       implicit val sq = s.sqlContext
       import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
       import org.apache.spark.sql.streaming.OutputMode
-      val baseMs = 1767225600000L // 2026-01-01T00:00:00Z
-      def row(id: Long, minute: Double): (Long, java.sql.Timestamp, Double, Double) =
-        (id, new java.sql.Timestamp(baseMs + (minute * 60000L).toLong),
-          (id * 7919 % 17000) / 100.0 - 85.0, (id * 104729 % 36000) / 100.0 - 180.0)
+      def row(id: Long, minute: Double) = streamPing(id, minute)
       val ids = s.read.parquet(s"$dir/documents.parquet")
         .select("doc_id").where(col("doc_id") < 500)
         .collect().map(_.getLong(0)).sorted.toSeq
@@ -1316,10 +1326,7 @@ object SparkEntry {
       implicit val sq = s.sqlContext
       import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
       import org.apache.spark.sql.streaming.OutputMode
-      val baseMs = 1767225600000L // 2026-01-01T00:00:00Z
-      def ping(id: Long, minute: Double): (Long, java.sql.Timestamp, Double, Double) =
-        (id, new java.sql.Timestamp(baseMs + (minute * 60000L).toLong),
-          (id * 7919 % 17000) / 100.0 - 85.0, (id * 104729 % 36000) / 100.0 - 180.0)
+      def ping(id: Long, minute: Double) = streamPing(id, minute)
       val ids = s.read.parquet(s"$dir/documents.parquet")
         .select("doc_id").where(col("doc_id") < 200)
         .collect().map(_.getLong(0)).sorted.toSeq
@@ -1445,6 +1452,7 @@ object SparkEntry {
         1 -> new S2Polygon(Array(S2Loop(P1))),
         2 -> new S2Polygon(Array(S2Loop(P2))))
       val pts = docsGeo(s, dir).select("doc_id", "lat", "lng")
+        .where(col("doc_id") < 500) // bound the driver/MemoryStream footprint
         .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
         .sortBy(_._1).toSeq
       val mem = MemoryStream[(Long, Double, Double)]
@@ -1516,9 +1524,8 @@ object SparkEntry {
       import s.implicits._
       implicit val sq = s.sqlContext
       import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-      val baseMs = 1767225600000L
       def row(id: Long, minute: Long): (Long, java.sql.Timestamp, String) =
-        (id, new java.sql.Timestamp(baseMs + minute * 60000L), s"t-${id % 60}")
+        (id, new java.sql.Timestamp(StreamBaseMs + minute * 60000L), s"t-${id % 60}")
       val ids = s.read.parquet(s"$dir/documents.parquet")
         .select("doc_id").where(col("doc_id") < 300)
         .collect().map(_.getLong(0)).sorted.toSeq
@@ -1535,7 +1542,7 @@ object SparkEntry {
         mem.addData(ids.filter(id => id >= 60 && id < 180).map(row(_, 3)))
         q.processAllAvailable()
         mem.addData(Seq((9999998L,
-          new java.sql.Timestamp(baseMs + 500 * 60000L), "sentinel")))
+          new java.sql.Timestamp(StreamBaseMs + 500 * 60000L), "sentinel")))
         q.processAllAvailable()
         mem.addData(ids.filter(id => id >= 180 && id < 240)
           .map(id => row(id, 495 + id % 3)))
@@ -1565,10 +1572,7 @@ object SparkEntry {
       implicit val sq = s.sqlContext
       import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
       import org.apache.spark.sql.streaming.OutputMode
-      val baseMs = 1767225600000L
-      def ping(id: Long, minute: Double): (Long, java.sql.Timestamp, Double, Double) =
-        (id, new java.sql.Timestamp(baseMs + (minute * 60000L).toLong),
-          (id * 7919 % 17000) / 100.0 - 85.0, (id * 104729 % 36000) / 100.0 - 180.0)
+      def ping(id: Long, minute: Double) = streamPing(id, minute)
       val ids = s.read.parquet(s"$dir/documents.parquet")
         .select("doc_id").where(col("doc_id") < 150)
         .collect().map(_.getLong(0)).sorted.toSeq
@@ -2781,10 +2785,10 @@ object SparkEntry {
 
       "q_stream_tag" -> s"""
         SELECT CAST(doc_id AS BIGINT) AS doc_id, 1 AS qid
-        FROM $docsXyzSql p WHERE ${pipWhere(P1)}
+        FROM $docsXyzSql p WHERE doc_id < 500 AND ${pipWhere(P1)}
         UNION ALL
         SELECT CAST(doc_id AS BIGINT) AS doc_id, 2 AS qid
-        FROM $docsXyzSql p WHERE ${pipWhere(P2)}""",
+        FROM $docsXyzSql p WHERE doc_id < 500 AND ${pipWhere(P2)}""",
 
       "q_stream_neardup" -> {
         // same mod-Mersenne band-key machinery as the q_dedup_minhash

@@ -77,19 +77,18 @@ object S2PointCodec {
     require(n >= 0 && n <= bytes.length - in.p,
       s"corrupt count $n for ${bytes.length - in.p} remaining bytes")
     val out = new Array[Long](n.toInt)
+    // valid level-L curve positions are [0, 6 * 4^L): 3 face bits + 2L
+    // Hilbert bits. Validate the POSITION, not the shifted id — a high-bit
+    // drift shifts out of the 64-bit id and aliases to a valid cell, the
+    // exact silent-wrong-chain failure this guard exists to reject.
+    val posLimit = 6L << (2 * level)
     var pos = 0L
     var i = 0
     while (i < n) {
       pos = if (i == 0) readVarint(in) else pos + unzigzag(readVarint(in))
-      val id = (pos << 1 | 1L) << (shift - 1)
-      // corrupt delta bytes can drive pos off the curve (face > 5 →
-      // downstream MatchError in coordinate conversion) — reject loudly
-      // here so corruption keeps the codec's IllegalArgumentException
-      // contract instead of surfacing as an opaque crash or, worse,
-      // a plausible wrong chain on a face-valid drift.
-      require(S2CellId.isValid(id) && S2CellId.level(id) == level,
-        s"corrupt position $pos at index $i (invalid level-$level cell)")
-      out(i) = id
+      require(pos >= 0 && pos < posLimit,
+        s"corrupt position $pos at index $i (valid range [0, $posLimit) at level $level)")
+      out(i) = (pos << 1 | 1L) << (shift - 1)
       i += 1
     }
     require(in.p == bytes.length,

@@ -78,6 +78,12 @@ class S2PointCodecSpec extends AnyFunSuite {
       out.toByteArray
     }
     intercept[IllegalArgumentException] { S2PointCodec.decodeCells(offCurve) }
+    // off-curve position whose HIGH bits shift out of the 64-bit id and
+    // alias to a valid cell: level 4, first pos = 2049 (valid range is
+    // [0, 1536)) — the shifted id equals the pos-1 cell, so an id-level
+    // validity check passes; the position-range check must reject it
+    val aliasing = Array[Byte](1, 4, 1, 0x81.toByte, 0x10)
+    intercept[IllegalArgumentException] { S2PointCodec.decodeCells(aliasing) }
   }
 
   test("decoded cells are valid ids of the encoded level") {

@@ -263,6 +263,7 @@ class SpatialSqlJoinSpec extends AnyFunSuite {
       } yield (q, id)).toSet
       val wdGot = wd.collect().map(r => (r.getInt(0), r.getLong(1))).toSet
       assert(wdGot == wdExpected, s"seed $seed within-distance mismatch")
+      assert(wdExpected.nonEmpty, s"seed $seed within-distance fixture is trivial")
     }
   }
 }
