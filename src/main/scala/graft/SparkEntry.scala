@@ -1403,6 +1403,58 @@ object SparkEntry {
       out
     }),
 
+    "q_s2_bucketed_join" -> ((s, dir) => {
+      // bucketed co-location physical design, driver-gated: two halves of
+      // the geo documents are written as cell-prefix-BUCKETED catalog
+      // tables, then equi-joined on cell_part — Spark's bucketed scan
+      // aligns buckets and the join runs with ZERO Exchange (asserted:
+      // broadcast disabled, plan checked in-gate). The per-token pair
+      // counts are mirrored by a kernel-golden token self-join. The
+      // pay-the-shuffle-once-at-write design for recurring 100 TB
+      // co-location joins.
+      import s.implicits._
+      // self-cleaning catalog tables: a fresh session's in-memory catalog
+      // forgets the table while its warehouse DIRECTORY persists, and
+      // saveAsTable refuses an unregistered existing location — drop
+      // both before writing and after reading
+      def dropBucketTables(): Unit = Seq("q_bkt_a", "q_bkt_b").foreach { t =>
+        s.sql(s"DROP TABLE IF EXISTS $t")
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles.foreach(rm); f.delete(); ()
+        }
+        val loc = new java.io.File(
+          s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), t)
+        if (loc.exists) rm(loc)
+      }
+      dropBucketTables()
+      val docs = docsGeo(s, dir).where(col("doc_id") < 400)
+      graft.runtime.TableIO.writeBucketed(
+        docs.where(col("doc_id") % 2 === 0), "q_bkt_a", numBuckets = 8, partLevel = 2)
+      graft.runtime.TableIO.writeBucketed(
+        docs.where(col("doc_id") % 2 === 1), "q_bkt_b", numBuckets = 8, partLevel = 2)
+      val prior = s.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val joined = s.table("q_bkt_a").select(col("cell_part"))
+          .join(s.table("q_bkt_b").select(col("cell_part")), "cell_part")
+          .groupBy("cell_part").agg(count(lit(1)).as("pairs"))
+        val localRows = joined.collect() // materialize before dropping tables
+        // the physical claim IS part of the gate: pre-shuffled buckets
+        val plan = joined.queryExecution.executedPlan.toString
+        require(!plan.split("== Initial Plan ==")(0)
+          .contains("Exchange hashpartitioning(cell_part"),
+          s"bucketed join shuffled on cell_part:\n$plan")
+        localRows.map(r => (r.getString(0), r.getLong(1))).toSeq
+          .toDF("cell_part", "pairs")
+      } finally {
+        dropBucketTables()
+        prior match {
+          case Some(v) => s.conf.set("spark.sql.autoBroadcastJoinThreshold", v)
+          case None => s.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        }
+      }
+    }),
+
     "q_stream_counts" -> ((s, dir) => {
       // REAL stateful per-cell running counts (mapGroupsWithState, Update
       // mode) inside the driver gate: the geo documents stream in two
@@ -1988,6 +2040,8 @@ object SparkEntry {
     }.mkString(", ")
     val l4Gold500 = (0L until 500L).map { id =>
       s"($id, '${S2CellId.toToken(S2CellId.parent(leafOf(id), 4))}')" }.mkString(", ")
+    val l2Gold500 = (0L until 500L).map { id =>
+      s"($id, '${S2CellId.toToken(S2CellId.parent(leafOf(id), 2))}')" }.mkString(", ")
     val tileGold500 = (0L until 500L).map { id =>
       s"($id, ${tileOfL2(S2CellId.parent(leafOf(id), 2))})" }.mkString(", ")
     val nbrGold64 = (0L until 64L).flatMap { id =>
@@ -2775,6 +2829,17 @@ object SparkEntry {
                              min(doc_id)) AS BIGINT) AS doc_id
         FROM documents WHERE doc_id < 400
         GROUP BY trim(regexp_replace(lower(text), '\s+', ' ', 'g'))""",
+
+      "q_s2_bucketed_join" -> s"""
+        SELECT va.cell_token AS cell_part, CAST(count(*) AS BIGINT) AS pairs
+        FROM documents a
+        JOIN (VALUES $l2Gold500) va(doc_id, cell_token) ON a.doc_id = va.doc_id
+        JOIN (VALUES $l2Gold500) vb(doc_id, cell_token)
+          ON vb.cell_token = va.cell_token
+        JOIN documents b ON b.doc_id = vb.doc_id
+        WHERE a.doc_id < 400 AND b.doc_id < 400
+          AND a.doc_id % 2 = 0 AND b.doc_id % 2 = 1
+        GROUP BY va.cell_token""",
 
       "q_stream_counts" -> s"""
         SELECT v.cell_token, CAST(count(*) AS BIGINT) AS weight
