@@ -340,6 +340,9 @@ object SparkEntry {
     (id, new java.sql.Timestamp(StreamBaseMs + (minute * 60000L).toLong),
       (id * 7919 % 17000) / 100.0 - 85.0, (id * 104729 % 36000) / 100.0 - 180.0)
 
+  /** Fixed probe cap for the DPP gate (shared by query and oracle). */
+  private val DppCap = S2Cap.fromCenterAngle(V3.fromLatLngDegrees(20, 30), 0.25)
+
   /** documents + derived deterministic geometry (see object doc). */
   private[graft] def docsGeo(s: SparkSession, dir: String): DataFrame =
     S2Joins.withCellId(
@@ -1401,6 +1404,37 @@ object SparkEntry {
       val out = s.table(sink).select(col("doc_id")).cache()
       out.count()
       out
+    }),
+
+    "q_s2_dpp_scan" -> ((s, dir) => {
+      // dynamic partition pruning, driver-gated: the geo documents are
+      // written as a level-3-token-partitioned spatial table; the probe
+      // cap's covering tokens arrive as a MATERIALIZED dim (qid-filtered,
+      // so the PartitionPruning rule sees a selective predicate — a
+      // LocalRelation would constant-fold it away), and the join must
+      // prune partitions at RUNTIME (dynamicpruning asserted in-plan).
+      // Oracle = kernel-golden covering-membership filter: exactly the
+      // docs whose level-3 ancestor intersects the cap's covering.
+      import s.implicits._
+      val tmp = java.nio.file.Files.createTempDirectory("q-dpp").toString
+      val docs = docsGeo(s, dir).where(col("doc_id") < 500)
+      graft.runtime.TableIO.writeSpatial(docs, s"$tmp/docs", partLevel = 3)
+      val farCap = S2Cap.fromCenterAngle(V3.fromLatLngDegrees(-55, -170), 0.2)
+      Seq(1, 2).flatMap { q =>
+        graft.runtime.TableIO.partitionsForRegion(
+          s"$tmp/docs", if (q == 1) DppCap else farCap).map(t => (q, t))
+      }.toDF("qid", "tok").write.parquet(s"$tmp/cov")
+      val dim = s.read.parquet(s"$tmp/cov").where(col("qid") === 1)
+      val joined = graft.runtime.TableIO.readSpatial(s, s"$tmp/docs")
+        .join(broadcast(dim), col("cell_part") === col("tok"))
+        .groupBy("cell_part")
+        .agg(count(lit(1)).as("cnt"), sum("doc_id").as("sum_id"))
+      val localRows = joined.collect()
+      val plan = joined.queryExecution.executedPlan.toString
+      require(plan.contains("dynamicpruning"),
+        s"partition pruning did not run dynamically:\n$plan")
+      localRows.map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+        .toDF("cell_part", "cnt", "sum_id")
     }),
 
     "q_s2_bucketed_join" -> ((s, dir) => {
@@ -2829,6 +2863,23 @@ object SparkEntry {
                              min(doc_id)) AS BIGINT) AS doc_id
         FROM documents WHERE doc_id < 400
         GROUP BY trim(regexp_replace(lower(text), '\s+', ' ', 'g'))""",
+
+      "q_s2_dpp_scan" -> {
+        // mirrors partitionsForRegion + the pruning join: keep exactly
+        // the docs whose level-3 ancestor intersects the cap's covering
+        val covering = new S2RegionCoverer(64).getCovering(DppCap)
+        val gold = (0L until 500L)
+          .map(id => (id, S2CellId.parent(leafOf(id), 3)))
+          .filter { case (_, c) => S2CellUnion.intersectsCellId(covering, c) }
+          .map { case (id, c) => s"($id, '${S2CellId.toToken(c)}')" }
+          .mkString(", ")
+        s"""SELECT v.cell_part, CAST(count(*) AS BIGINT) AS cnt,
+                   CAST(sum(d.doc_id) AS BIGINT) AS sum_id
+            FROM documents d
+            JOIN (VALUES $gold) v(doc_id, cell_part) ON d.doc_id = v.doc_id
+            WHERE d.doc_id < 500
+            GROUP BY v.cell_part"""
+      },
 
       "q_s2_bucketed_join" -> s"""
         SELECT va.cell_token AS cell_part, CAST(count(*) AS BIGINT) AS pairs
