@@ -343,6 +343,15 @@ object SparkEntry {
   /** Fixed probe cap for the DPP gate (shared by query and oracle). */
   private val DppCap = S2Cap.fromCenterAngle(V3.fromLatLngDegrees(20, 30), 0.25)
 
+  /** Null-guarded recursive delete for the gates' scratch dirs (listFiles
+    * returns null on I/O error — a bare foreach would turn cleanup into an
+    * NPE that masks the gate's real result). */
+  private[graft] def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory)
+      Option(f.listFiles).getOrElse(Array.empty).foreach(deleteRecursively)
+    f.delete(); ()
+  }
+
   /** documents + derived deterministic geometry (see object doc). */
   private[graft] def docsGeo(s: SparkSession, dir: String): DataFrame =
     S2Joins.withCellId(
@@ -1417,24 +1426,26 @@ object SparkEntry {
       // docs whose level-3 ancestor intersects the cap's covering.
       import s.implicits._
       val tmp = java.nio.file.Files.createTempDirectory("q-dpp").toString
-      val docs = docsGeo(s, dir).where(col("doc_id") < 500)
-      graft.runtime.TableIO.writeSpatial(docs, s"$tmp/docs", partLevel = 3)
-      val farCap = S2Cap.fromCenterAngle(V3.fromLatLngDegrees(-55, -170), 0.2)
-      Seq(1, 2).flatMap { q =>
-        graft.runtime.TableIO.partitionsForRegion(
-          s"$tmp/docs", if (q == 1) DppCap else farCap).map(t => (q, t))
-      }.toDF("qid", "tok").write.parquet(s"$tmp/cov")
-      val dim = s.read.parquet(s"$tmp/cov").where(col("qid") === 1)
-      val joined = graft.runtime.TableIO.readSpatial(s, s"$tmp/docs")
-        .join(broadcast(dim), col("cell_part") === col("tok"))
-        .groupBy("cell_part")
-        .agg(count(lit(1)).as("cnt"), sum("doc_id").as("sum_id"))
-      val localRows = joined.collect()
-      val plan = joined.queryExecution.executedPlan.toString
-      require(plan.contains("dynamicpruning"),
-        s"partition pruning did not run dynamically:\n$plan")
-      localRows.map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
-        .toDF("cell_part", "cnt", "sum_id")
+      try {
+        val docs = docsGeo(s, dir).where(col("doc_id") < 500)
+        graft.runtime.TableIO.writeSpatial(docs, s"$tmp/docs", partLevel = 3)
+        val farCap = S2Cap.fromCenterAngle(V3.fromLatLngDegrees(-55, -170), 0.2)
+        Seq(1, 2).flatMap { q =>
+          graft.runtime.TableIO.partitionsForRegion(
+            s"$tmp/docs", if (q == 1) DppCap else farCap).map(t => (q, t))
+        }.toDF("qid", "tok").write.parquet(s"$tmp/cov")
+        val dim = s.read.parquet(s"$tmp/cov").where(col("qid") === 1)
+        val joined = graft.runtime.TableIO.readSpatial(s, s"$tmp/docs")
+          .join(broadcast(dim), col("cell_part") === col("tok"))
+          .groupBy("cell_part")
+          .agg(count(lit(1)).as("cnt"), sum("doc_id").as("sum_id"))
+        val localRows = joined.collect()
+        val plan = joined.queryExecution.executedPlan.toString
+        require(plan.contains("dynamicpruning"),
+          s"partition pruning did not run dynamically:\n$plan")
+        localRows.map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+          .toDF("cell_part", "cnt", "sum_id")
+      } finally deleteRecursively(new java.io.File(tmp))
     }),
 
     "q_s2_bucketed_join" -> ((s, dir) => {
@@ -1447,30 +1458,36 @@ object SparkEntry {
       // pay-the-shuffle-once-at-write design for recurring 100 TB
       // co-location joins.
       import s.implicits._
-      // self-cleaning catalog tables: a fresh session's in-memory catalog
-      // forgets the table while its warehouse DIRECTORY persists, and
-      // saveAsTable refuses an unregistered existing location — drop
-      // both before writing and after reading
-      def dropBucketTables(): Unit = Seq("q_bkt_a", "q_bkt_b").foreach { t =>
+      // self-cleaning catalog tables: UNIQUE per-invocation names (a fixed
+      // global name could collide with — and then destroy — unrelated
+      // warehouse data; unique names also make the finally-cleanup the
+      // only deletion this gate ever performs). A fresh session's
+      // in-memory catalog forgets the table while its warehouse DIRECTORY
+      // persists, so both the table and its directory are removed.
+      val runTag = java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+      val (tblA, tblB) = (s"q_bkt_a_$runTag", s"q_bkt_b_$runTag")
+      def dropBucketTables(): Unit = Seq(tblA, tblB).foreach { t =>
         s.sql(s"DROP TABLE IF EXISTS $t")
-        def rm(f: java.io.File): Unit = {
-          if (f.isDirectory) f.listFiles.foreach(rm); f.delete(); ()
-        }
-        val loc = new java.io.File(
-          s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), t)
-        if (loc.exists) rm(loc)
+        // warehouse dir may be a plain path or a file:/file:// URI; java.net.URI
+        // handles the authority form that a bare stripPrefix would mangle
+        val wh = s.conf.get("spark.sql.warehouse.dir")
+        // URI.getPath decodes both the file:/path and file://authority/path
+        // forms (new File(URI) rejects the latter outright)
+        val whPath =
+          if (wh.startsWith("file:")) java.net.URI.create(wh).getPath else wh
+        val loc = new java.io.File(whPath, t)
+        if (loc.exists) deleteRecursively(loc)
       }
-      dropBucketTables()
       val docs = docsGeo(s, dir).where(col("doc_id") < 400)
       graft.runtime.TableIO.writeBucketed(
-        docs.where(col("doc_id") % 2 === 0), "q_bkt_a", numBuckets = 8, partLevel = 2)
+        docs.where(col("doc_id") % 2 === 0), tblA, numBuckets = 8, partLevel = 2)
       graft.runtime.TableIO.writeBucketed(
-        docs.where(col("doc_id") % 2 === 1), "q_bkt_b", numBuckets = 8, partLevel = 2)
+        docs.where(col("doc_id") % 2 === 1), tblB, numBuckets = 8, partLevel = 2)
       val prior = s.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
       s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
       try {
-        val joined = s.table("q_bkt_a").select(col("cell_part"))
-          .join(s.table("q_bkt_b").select(col("cell_part")), "cell_part")
+        val joined = s.table(tblA).select(col("cell_part"))
+          .join(s.table(tblB).select(col("cell_part")), "cell_part")
           .groupBy("cell_part").agg(count(lit(1)).as("pairs"))
         val localRows = joined.collect() // materialize before dropping tables
         // the physical claim IS part of the gate: pre-shuffled buckets

@@ -57,16 +57,37 @@ object S2BooleanOps {
   def symmetricDifference(a: S2Polygon, b: S2Polygon): S2Polygon =
     apply(SymmetricDifference, a, b)
 
-  def apply(op: Op, a: S2Polygon, b: S2Polygon): S2Polygon = op match {
+  /** Overlap fractions between two polygons: the ratios of the area of
+    * their intersection to the area of each operand, clamped to 1
+    * (S2Polygon::GetOverlapFractions, /root/reference/src/s2/s2polygon.cc:600-610
+    * — an empty operand yields fraction 1, matching the 0/0 >= clamp). */
+  def overlapFractions(a: S2Polygon, b: S2Polygon): (Double, Double) = {
+    val ia = intersection(a, b).area
+    val aa = a.area
+    val ba = b.area
+    (if (ia >= aa) 1.0 else ia / aa, if (ia >= ba) 1.0 else ia / ba)
+  }
+
+  /** Default snap radius of the polygon-level ops — the reference's
+    * S2Polygon Init* default, IdentitySnapFunction(kIntersectionMergeRadius)
+    * (/root/reference/src/s2/s2polygon.h:365-366,
+    * s2edge_crossings.h:233 — 2 * kIntersectionError ≈ 1.8e-15 rad). */
+  val MergeRadius: Double = 2 * S2EdgeIntersections.IntersectionErrorRadians
+
+  def apply(op: Op, a: S2Polygon, b: S2Polygon): S2Polygon =
+    apply(op, a, b, MergeRadius)
+
+  def apply(op: Op, a: S2Polygon, b: S2Polygon, snapRadius: Double): S2Polygon = op match {
     case SymmetricDifference =>
       // disjoint boundaries by construction: (A-B) and (B-A) interiors are
       // disjoint, so parity over the union of their loop sets is correct
-      new S2Polygon(apply(Difference, a, b).loops ++ apply(Difference, b, a).loops)
+      new S2Polygon(apply(Difference, a, b, snapRadius).loops ++
+        apply(Difference, b, a, snapRadius).loops)
     case _ if a.isEmpty =>
       if (op == Union) b else S2Polygon.empty
     case _ if b.isEmpty =>
       if (op == Intersection) S2Polygon.empty else a
-    case _ => clip(op, a, b)
+    case _ => clip(op, a, b, snapRadius)
   }
 
   // one directed edge of an input polygon, with its split-event points
@@ -93,7 +114,57 @@ object S2BooleanOps {
 
   private def geodesicMidpoint(u: V3, v: V3): V3 = (u + v).normalize
 
-  private def clip(op: Op, a: S2Polygon, b: S2Polygon): S2Polygon = {
+  /** Snap phase 0 (the role the reference's IdentitySnapFunction plays
+    * inside S2BooleanOperation): merge the two operands' vertices that lie
+    * within `snapRadius` of each other onto one canonical instance — later
+    * (b-side) vertices snap onto earlier (a-side) ones — so near-shared
+    * corners become EXACT shared vertices before event detection. Returns
+    * the rebuilt polygons (consecutive duplicates collapsed, loops that
+    * degenerate below 3 vertices dropped). */
+  private def snapOperands(a: S2Polygon, b: S2Polygon,
+                           chord2: Double): (S2Polygon, S2Polygon) = {
+    val canon = new mutable.ArrayBuffer[V3]()
+    val canonOf = new java.util.HashMap[V3, V3]()
+    def snapV(v: V3): V3 = {
+      val hit = canonOf.get(v)
+      if (hit != null) hit
+      else {
+        val c = canon.find(c => (c - v).norm2 <= chord2).getOrElse { canon += v; v }
+        canonOf.put(v, c); c
+      }
+    }
+    def rebuild(p: S2Polygon): S2Polygon = {
+      val loops = p.loops.flatMap { l =>
+        if (l.isEmptyOrFull) Some(l)
+        else {
+          val mapped = l.vertices.map(snapV)
+          val dedup = new mutable.ArrayBuffer[V3](mapped.length)
+          for (v <- mapped) if (dedup.isEmpty || dedup.last != v) dedup += v
+          while (dedup.length > 1 && dedup.head == dedup.last) dedup.remove(dedup.length - 1)
+          if (dedup.length >= 3) Some(S2Loop(dedup.toArray)) else None
+        }
+      }
+      // common fast path: nothing moved — keep the original instance
+      // (with its cached bounds/signs)
+      if (loops.length == p.loops.length &&
+          loops.iterator.zip(p.loops.iterator).forall { case (x, y) =>
+            x.vertices.sameElements(y.vertices) }) p
+      else new S2Polygon(loops)
+    }
+    // seed the canonical set with a's vertices so b snaps onto a
+    (rebuild(a), rebuild(b))
+  }
+
+  private def clip(op: Op, a0: S2Polygon, b0: S2Polygon,
+                   snapRadius: Double): S2Polygon = {
+    // squared chord length of the snap radius
+    val snapChord2 = {
+      val s = math.sin(0.5 * math.min(math.Pi, math.max(0.0, snapRadius)))
+      4 * s * s
+    }
+    val (a, b) = snapOperands(a0, b0, snapChord2)
+    if (a.isEmpty) return (if (op == Union) b else S2Polygon.empty)
+    if (b.isEmpty) return (if (op == Intersection) S2Polygon.empty else a)
     val aEdges = edgesOf(a)
     val bEdges = edgesOf(b)
 
@@ -102,15 +173,30 @@ object S2BooleanOps {
     // distinct great circles meet in one point per hemisphere, so an
     // endpoint-on-edge contact rules out an additional interior crossing,
     // and same-circle (collinear) pairs have no transversal crossing.
+    // An endpoint counts as ON the other edge when it is EXACTLY collinear
+    // (the original exact path) or within the snap radius of the edge's
+    // interior (the snap path: the edge reroutes through the vertex, so a
+    // boundary stretch that HUGS the other boundary within the snap radius
+    // decomposes into bitwise-identical elementary segments and is decided
+    // by the coincidence rule instead of ill-conditioned midpoint parity —
+    // e.g. same-latitude edges of the two operands sharing a meridian
+    // great circle with inexactly-computed vertices).
+    def onEdge(e: Edge, w: V3): Boolean = {
+      if (w == e.v0 || w == e.v1) false
+      else if (S2Predicates.onGreatCircle(e.v0, e.v1, e.x, w) &&
+        S2Predicates.collinearBetween(e.v0, e.v1, w)) true
+      else if (snapChord2 > 0) {
+        val xa2 = (w - e.v0).norm2
+        val xb2 = (w - e.v1).norm2
+        val d = S2EdgeDistances.interiorDistance2(w, e.v0, e.v1, xa2, xb2)
+        d >= 0 && d <= snapChord2
+      } else false
+    }
     for (la <- aEdges; ea <- la; lb <- bEdges; eb <- lb) {
-      val e0 = S2Predicates.onGreatCircle(ea.v0, ea.v1, ea.x, eb.v0) &&
-        S2Predicates.collinearBetween(ea.v0, ea.v1, eb.v0)
-      val e1 = S2Predicates.onGreatCircle(ea.v0, ea.v1, ea.x, eb.v1) &&
-        S2Predicates.collinearBetween(ea.v0, ea.v1, eb.v1)
-      val f0 = S2Predicates.onGreatCircle(eb.v0, eb.v1, eb.x, ea.v0) &&
-        S2Predicates.collinearBetween(eb.v0, eb.v1, ea.v0)
-      val f1 = S2Predicates.onGreatCircle(eb.v0, eb.v1, eb.x, ea.v1) &&
-        S2Predicates.collinearBetween(eb.v0, eb.v1, ea.v1)
+      val e0 = onEdge(ea, eb.v0)
+      val e1 = onEdge(ea, eb.v1)
+      val f0 = onEdge(eb, ea.v0)
+      val f1 = onEdge(eb, ea.v1)
       if (e0) ea.addCrossing(eb.v0)
       if (e1) ea.addCrossing(eb.v1)
       if (f0) eb.addCrossing(ea.v0)

@@ -115,6 +115,53 @@ object RegionJoins {
       .select("lid", "rid")
   }
 
+  /** Per-pair overlap fractions (S2Polygon::GetOverlapFractions,
+    * s2polygon.cc:600) as a struct column over two polygon-text columns:
+    * (frac_a, frac_b) = intersection area over each operand's area,
+    * clamped to 1. */
+  val overlapFractionsUdf = udf { (a: String, b: String) =>
+    val (fa, fb) = S2BooleanOps.overlapFractions(
+      graft.functions.PolyCache.get(a), graft.functions.PolyCache.get(b))
+    (fa, fb)
+  }
+
+  /** ApproxContains / ApproxDisjoint (s2polygon.cc:676,682) over polygon
+    * text columns at tolerance `tolRadians`. */
+  def approxContainsUdf(tolRadians: Double) = udf { (a: String, b: String) =>
+    PolygonApprox.approxContains(graft.functions.PolyCache.get(a),
+      graft.functions.PolyCache.get(b), tolRadians)
+  }
+  def approxDisjointUdf(tolRadians: Double) = udf { (a: String, b: String) =>
+    PolygonApprox.approxDisjoint(graft.functions.PolyCache.get(a),
+      graft.functions.PolyCache.get(b), tolRadians)
+  }
+
+  /** Overlap-fraction join (dedup-by-region-overlap shape): polygon-text
+    * tables on both sides, arbitrary size. Covering-term candidates (one
+    * equi-join shuffle carrying id + text per term, never all-pairs), then
+    * the exact boolean-op intersection area refines each candidate pair.
+    * Emits (lid, rid, frac_l, frac_r) for pairs with positive overlap and
+    * frac_l >= minFraction — pairs without a shared term have disjoint
+    * coverings, hence fraction 0, and are correctly absent. */
+  def overlapFractionsJoin(left: DataFrame, leftId: String, leftPoly: String,
+                           right: DataFrame, rightId: String, rightPoly: String,
+                           minFraction: Double = 0.0): DataFrame = {
+    val idxTerms = udf { (text: String) =>
+      indexer.indexTerms(graft.functions.PolyCache.get(text)) }
+    val qryTerms = udf { (text: String) =>
+      indexer.queryTerms(graft.functions.PolyCache.get(text)) }
+    val l = left.select(col(leftId).as("lid"), col(leftPoly).as("lpoly"))
+      .withColumn("term", explode(idxTerms(col("lpoly"))))
+    val r = right.select(col(rightId).as("rid"), col(rightPoly).as("rpoly"))
+      .withColumn("term", explode(qryTerms(col("rpoly"))))
+    l.join(r, "term").drop("term")
+      .dropDuplicates("lid", "rid")
+      .withColumn("fr", overlapFractionsUdf(col("lpoly"), col("rpoly")))
+      .where(col("fr._1") > 0 && col("fr._1") >= minFraction)
+      .select(col("lid"), col("rid"),
+        col("fr._1").as("frac_l"), col("fr._2").as("frac_r"))
+  }
+
   // ---- cell-union set algebra as columns (SURVEY §2.9) ----
   val unionUdf = udf { (a: Array[Long], b: Array[Long]) => S2CellUnion.union(a, b) }
   val intersectionUdf = udf { (a: Array[Long], b: Array[Long]) =>

@@ -360,4 +360,91 @@ class S2BooleanOpsSpec extends AnyFunSuite {
       }
     }
   }
+
+  // ---- GetOverlapFractions (s2polygon.cc:600; test fixtures from
+  // s2polygon_test.cc OverlapFractions) ----
+
+  test("overlapFractions: reference OverlapFractions cases") {
+    val empty = poly("")
+    val overlap3 = poly("-10:10, 0:10, 0:-10, -10:-10, -10:0")
+    val overlap4 = poly("-10:0, 10:0, 10:-10, -10:-10")
+
+    val r1 = S2BooleanOps.overlapFractions(empty, empty)
+    assert(r1 == ((1.0, 1.0)), s"empty/empty -> $r1")
+
+    val r2 = S2BooleanOps.overlapFractions(empty, overlap3)
+    assert(r2._1 == 1.0 && r2._2 == 0.0, s"empty/overlap3 -> $r2")
+
+    val r3 = S2BooleanOps.overlapFractions(overlap4, overlap3)
+    assert(math.abs(r3._1 - 0.5) < 1e-14, s"overlap4 frac ${r3._1}")
+    assert(math.abs(r3._2 - 0.5) < 1e-14, s"overlap3 frac ${r3._2}")
+  }
+
+  test("overlapFractions: contained and disjoint branches") {
+    val (fa, fb) = S2BooleanOps.overlapFractions(A, Bin)
+    assert(fb == 1.0, s"contained operand must clamp to exactly 1, got $fb")
+    assert(math.abs(fa - Bin.area / A.area) < 1e-12)
+    val (da, db) = S2BooleanOps.overlapFractions(A, Bdisj)
+    assert(da == 0.0 && db == 0.0)
+  }
+
+  // ---- ApproxContains / ApproxDisjoint / ApproxEquals
+  // (s2polygon.cc:676-700; random harness from s2polygon_test.cc
+  // TestApproxContainsAndDisjoint) ----
+
+  test("approxContains/approxDisjoint: exact containment implies both") {
+    import graft.operators.PolygonApprox
+    assert(PolygonApprox.approxContains(A, Bin, 1e-15))
+    assert(!PolygonApprox.approxDisjoint(A, Bin, 1e-15))
+    assert(PolygonApprox.approxDisjoint(A, Bdisj, 1e-15))
+    assert(!PolygonApprox.approxContains(A, Bover, 1e-6))
+  }
+
+  test("approxContains/approxDisjoint: cell-intersection residues collapse at the merge radius") {
+    import graft.operators.PolygonApprox
+    // reference harness: intersect a level-10 cell's polygon A with its
+    // child-0 polygon B; the constructed intersection may stick out of A
+    // (or into adjacent child 1) by up to kIntersectionError, so the exact
+    // relations can fail while the approx ones must hold at
+    // kIntersectionMergeRadius.
+    val rnd = new scala.util.Random(11)
+    for (trial <- 0 until 200) {
+      val p = V3(rnd.nextDouble() * 2 - 1, rnd.nextDouble() * 2 - 1,
+        rnd.nextDouble() * 2 - 1)
+      if (p.norm2 > 1e-4) {
+        val u = p.normalize
+        val id = S2CellId.parent(S2CellId.fromPoint(u.x, u.y, u.z), 10)
+        def cellPoly(cid: Long): S2Polygon = {
+          val c = S2Cell(cid)
+          new S2Polygon(Array(S2Loop(Array(
+            c.vertex(0), c.vertex(1), c.vertex(2), c.vertex(3)))))
+        }
+        val parent = cellPoly(id)
+        val child0 = cellPoly(S2CellId.child(id, 0))
+        val child1 = cellPoly(S2CellId.child(id, 1))
+        val inter = S2BooleanOps.intersection(parent, child0)
+        assert(PolygonApprox.approxContains(parent, inter,
+          PolygonApprox.intersectionMergeRadius), s"trial $trial contains")
+        assert(PolygonApprox.approxDisjoint(child1, inter,
+          PolygonApprox.intersectionMergeRadius), s"trial $trial disjoint")
+      }
+    }
+  }
+
+  test("approxEquals: tolerates sub-tolerance vertex perturbation, rejects real differences") {
+    import graft.operators.PolygonApprox
+    val tol = 1e-10
+    val jitter = 1e-12 // radians, well under tol
+    val perturbed = new S2Polygon(A.loops.map { l =>
+      S2Loop(l.vertices.map { v =>
+        // rotate each vertex slightly within the tangent plane
+        val t = v.cross(V3(0, 0, 1))
+        val axis = if (t.norm2 < 1e-12) v.cross(V3(0, 1, 0)).normalize else t.normalize
+        (v + axis * jitter).normalize
+      })
+    })
+    assert(PolygonApprox.approxEquals(A, perturbed, tol))
+    assert(!PolygonApprox.approxEquals(A, Bover, tol))
+    assert(!PolygonApprox.approxEquals(A, Bin, tol))
+  }
 }
