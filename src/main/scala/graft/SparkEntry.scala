@@ -234,6 +234,41 @@ object SparkEntry {
       (30.0, 28.0), (34.0, 36.0)),
     2 -> Seq((-20.0, -60.0), (-14.0, -52.0), (-10.0, -58.0), (-2.0, -50.0),
       (6.0, -44.0)))
+  /** Half-size (degrees) of the q_s2_overlap quads — .xx37 offset keeps
+    * quad corners off the doc grid and every derived vertex in generic
+    * position. */
+  private val OverlapH = 0.7537
+
+  /** Oracle-side spherical-excess area of the geodesic quad with corners
+    * (tLo,gLo),(tLo,gHi),(tHi,gHi),(tHi,gLo) — lateral-alias SQL chain:
+    * corner xyz, corner-pair dots, tangent-plane vectors, interior angles
+    * (atan2 of tangent cross/dot), area = angle sum − 2π as
+    * `${pre}_area`. INDEPENDENT of the engine's surface-integral loop
+    * area (agreement ~1e-12 relative for degree-scale quads). */
+  private def quadAreaSqlAliases(pre: String, tLo: String, tHi: String,
+                                 gLo: String, gHi: String): String = {
+    val corners = Seq((tLo, gLo), (tLo, gHi), (tHi, gHi), (tHi, gLo))
+    val cornerAliases = corners.zipWithIndex.flatMap { case ((t, g), i) => Seq(
+      s"cos(radians($t))*cos(radians($g)) AS ${pre}c${i}x",
+      s"cos(radians($t))*sin(radians($g)) AS ${pre}c${i}y",
+      s"sin(radians($t)) AS ${pre}c${i}z") }
+    val pairs = (0 to 3).flatMap(i => Seq((i, (i + 3) % 4), (i, (i + 1) % 4)))
+    val dotAliases = pairs.map { case (i, j) =>
+      s"(${pre}c${i}x*${pre}c${j}x + ${pre}c${i}y*${pre}c${j}y + ${pre}c${i}z*${pre}c${j}z) AS ${pre}d${i}_$j" }
+    val tanAliases = pairs.flatMap { case (i, j) => Seq("x", "y", "z").map { ax =>
+      s"(${pre}c$j$ax - ${pre}d${i}_$j*${pre}c$i$ax) AS ${pre}t${i}_$j$ax" } }
+    val angleAliases = (0 to 3).map { i =>
+      val p = (i + 3) % 4; val q = (i + 1) % 4
+      val u = s"${pre}t${i}_$p"; val w = s"${pre}t${i}_$q"
+      s"atan2(sqrt((${u}y*${w}z - ${u}z*${w}y)*(${u}y*${w}z - ${u}z*${w}y)" +
+        s" + (${u}z*${w}x - ${u}x*${w}z)*(${u}z*${w}x - ${u}x*${w}z)" +
+        s" + (${u}x*${w}y - ${u}y*${w}x)*(${u}x*${w}y - ${u}y*${w}x))," +
+        s" ${u}x*${w}x + ${u}y*${w}y + ${u}z*${w}z) AS ${pre}a$i"
+    }
+    (cornerAliases ++ dotAliases ++ tanAliases ++ angleAliases).mkString(", ") +
+      s", (${pre}a0 + ${pre}a1 + ${pre}a2 + ${pre}a3 - 2*pi()) AS ${pre}_area"
+  }
+
   // fixed apex edge for the triangle-area fan (q_s2_triangle_area):
   // .xx37-offset lat/lng keep every doc point (0.01-degree grid) at least
   // ~0.003 deg from the apex vertices AND from their antipodes, so the
@@ -519,6 +554,85 @@ object SparkEntry {
       S2Joins.broadcastContainsJoin(docsGeo(s, dir), ops)
         .groupBy(col("qid").as("op_id"))
         .agg(count(lit(1)).as("cnt"), sum("doc_id").as("sum_id"))
+    }),
+
+    "q_s2_rect_hausdorff" -> ((s, dir) => {
+      // S2LatLngRect::GetDirectedHausdorffDistance (s2latlng_rect.cc:593-727)
+      // across its three regimes, one per doc_id % 3: (0) identical lng
+      // intervals — reduces to the R1 lat-interval directed Hausdorff;
+      // (1) lng intervals shifted by 0.6 rad (Voronoi case 1: endpoint
+      // candidates against a real latitude segment, s1 > 0 so the equator
+      // candidate is off); (2) shifted by 2.0 rad > pi/2 (Voronoi case 2:
+      // bisector intersection + interior-max candidates) against a
+      // DEGENERATE point edge, giving every candidate a closed form. The
+      // oracle mirrors each candidate with independent spherical
+      // trigonometry (atan2/asin/acos closed forms, all angles >= 0.3 rad
+      // so acos conditioning is ~1e-15); the no-wrap disjoint lng
+      // construction makes the lng-interval Hausdorff equal the shift
+      // delta by construction. round(9) compares.
+      val dh = udf { (latDeg: Double, lngDeg: Double, docId: Long) =>
+        val branch = (docId % 3).toInt
+        val laR = math.toRadians(latDeg) * 0.5
+        val ta = 0.15 + (docId % 5) * 0.04
+        val loR = math.toRadians(lngDeg) * 0.2
+        val wa = 0.05 + (docId % 3) * 0.03
+        val a = S2LatLngRect(R1Interval(laR - ta, laR + ta),
+          S1Interval(loR - wa, loR + wa))
+        val b = branch match {
+          case 0 =>
+            val blo = laR - 0.05 - (docId % 7) * 0.1
+            S2LatLngRect(R1Interval(blo, blo + 0.25),
+              S1Interval(loR - wa, loR + wa))
+          case 1 =>
+            val s1 = 0.35 + (docId % 4) * 0.1
+            S2LatLngRect(R1Interval(s1, s1 + 0.4),
+              S1Interval(loR - wa + 0.6, loR + wa + 0.6))
+          case _ =>
+            val sb = 0.25 + (docId % 6) * 0.08
+            S2LatLngRect(R1Interval(sb, sb),
+              S1Interval(loR - wa + 2.0, loR + wa + 2.0))
+        }
+        a.directedHausdorffDistance(b)
+      }
+      docsGeo(s, dir).where(col("doc_id") < 240)
+        .select(col("doc_id"), pmod(col("doc_id"), lit(3)).cast("int").as("branch"),
+          round(dh(col("lat"), col("lng"), col("doc_id")), 9).as("dh_r"))
+    }),
+
+    "q_s2_overlap" -> ((s, dir) => {
+      // S2Polygon::GetOverlapFractions (s2polygon.cc:600) through the
+      // boolean-op intersection kernel: per doc, geodesic quad A
+      // (half-size h) vs one of three B configurations — (0) north-shifted
+      // partial overlap whose intersection is the exact vertex-quad
+      // between B's bottom and A's top edges (the near-collinear shared
+      // meridian sides exercise the clipper's snap phase), (1) concentric
+      // contained (frac_b clamps to exactly 1), (2) lng-shifted disjoint.
+      // Fractions are pinned to 6 digits (round x 1e6) against an
+      // INDEPENDENT spherical-excess area oracle (interior tangent-plane
+      // angle sum - 2pi per quad): the two area formulas agree to ~1e-12
+      // relative, so the 1e-6 grid makes the compare collision-free.
+      val h = OverlapH
+      val fracs = udf { (lat: Double, lng: Double, branch: Int) =>
+        def quad(tLo: Double, tHi: Double, gLo: Double, gHi: Double) =
+          new S2Polygon(Array(S2Loop(Array(
+            V3.fromLatLngDegrees(tLo, gLo), V3.fromLatLngDegrees(tLo, gHi),
+            V3.fromLatLngDegrees(tHi, gHi), V3.fromLatLngDegrees(tHi, gLo)))))
+        val a = quad(lat - h, lat + h, lng - h, lng + h)
+        val b = branch match {
+          case 0 => quad(lat, lat + 2 * h, lng - h, lng + h)
+          case 1 => quad(lat - h / 2, lat + h / 2, lng - h / 2, lng + h / 2)
+          case _ => quad(lat - h, lat + h, lng + 2 * h, lng + 4 * h)
+        }
+        val (fa, fb) = S2BooleanOps.overlapFractions(a, b)
+        (math.round(1000000 * fa), math.round(1000000 * fb))
+      }
+      docsGeo(s, dir)
+        .where(col("doc_id") < 300 && col("lat").between(-60.0, 60.0))
+        .withColumn("branch", pmod(col("doc_id"), lit(3)).cast("int"))
+        .select(col("doc_id"), col("branch"),
+          fracs(col("lat"), col("lng"), col("branch")).as("f"))
+        .select(col("doc_id"), col("branch"),
+          col("f._1").as("fa_m"), col("f._2").as("fb_m"))
     }),
 
     "q_s2_edge_cross" -> ((s, dir) => {
@@ -2057,6 +2171,33 @@ object SparkEntry {
       Multimodal.sceneChanges(
         Multimodal.frameFeaturesReal(media, framesPerDoc = 4,
           targetW = 8, targetH = 8), threshold = 0.05)
+    }),
+
+    "q_media_mjpg" -> ((s, dir) => {
+      // Motion-JPEG path: the SAME chunk-tree demux + ImageIO decode +
+      // scene-change pipeline as q_media_video, but the AVI carries the
+      // 'MJPG' FourCC with real JPEG frame payloads — the format-
+      // generality claim of the demuxer, gated. JPEG is lossy, so frames
+      // are FLAT fields at two well-separated gray levels (30 / 220):
+      // decode error on a flat 8x8 block is a few gray levels, making
+      // dist either < 3e-4 (same level) or > 0.5 (level change) against
+      // the 0.05 cut threshold — is_cut is decode-noise-proof and the
+      // oracle mirrors the level pattern in pure SQL.
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .where(col("doc_id") < 300)
+      val aviUdf = udf { (id: Long) =>
+        val frames = (0 until 4).map { f =>
+          val hi = (id * 4 + f + 131L) * 2654435761L % 1000003L < 500000L
+          Array.fill(64)(if (hi) 220 else 30)
+        }
+        Multimodal.MediaCodec.encodeAviMjpg(frames, 8, 8, fps = 5)
+      }
+      val media = docs.select(concat(lit("j"), col("doc_id")).as("media_ref"),
+        aviUdf(col("doc_id")).as("bytes"))
+      Multimodal.sceneChanges(
+        Multimodal.frameFeaturesReal(media, framesPerDoc = 4,
+          targetW = 8, targetH = 8), threshold = 0.05)
+        .select(col("media_ref"), col("frame_off"), col("is_cut"))
     }))
 
   /** DuckDB-runnable oracles (same parquet tables, same column names).
@@ -2289,6 +2430,97 @@ object SparkEntry {
           UNION ALL
           SELECT 4 AS op_id, doc_id FROM $docsXyzSql p WHERE (${pipWhere(P1)}) <> (${pipWhere(P3)}))
         GROUP BY op_id""",
+
+      "q_s2_rect_hausdorff" -> {
+        // per-branch closed-form mirror of the rect directed-Hausdorff
+        // ladder (see the query comment). The lng-interval directed
+        // Hausdorff equals the shift delta (0 / 0.6 / 2.0) by the no-wrap
+        // disjoint construction, so only the two-edge problem is mirrored.
+        val base = s"""(SELECT doc_id, CAST(doc_id % 3 AS INT) AS branch,
+             radians((doc_id*7919 % 17000)/100.0 - 85.0) * 0.5 AS la,
+             0.15 + (doc_id % 5) * 0.04 AS ta
+           FROM documents WHERE doc_id < 240)"""
+        // branch 0: identical lng intervals -> R1 lat-interval Hausdorff
+        val b0 = s"""SELECT doc_id, branch,
+            round(greatest(0.0, (la + ta) - (la - 0.05 - (doc_id % 7) * 0.1 + 0.25),
+                           (la - 0.05 - (doc_id % 7) * 0.1) - (la - ta)), 9) AS dh_r
+          FROM $base WHERE branch = 0"""
+        // branch 1 (lngDiff 0.6 <= pi/2): endpoint candidates against the
+        // segment [s1, s2] at the shifted meridian — projection latitude
+        // phi = atan(tan(e)/cos(d)); interior -> asin(cos e sin d),
+        // otherwise great-circle distance to the nearer segment endpoint
+        def dEnd(e: String): String =
+          s"""CASE WHEN atan(tan($e)/cos(0.6)) < s1
+                THEN acos(sin($e)*sin(s1) + cos($e)*cos(s1)*cos(0.6))
+              WHEN atan(tan($e)/cos(0.6)) > s2
+                THEN acos(sin($e)*sin(s2) + cos($e)*cos(s2)*cos(0.6))
+              ELSE asin(cos($e)*sin(0.6)) END"""
+        val b1 = s"""SELECT doc_id, branch,
+            round(greatest(${dEnd("la - ta")}, ${dEnd("la + ta")}), 9) AS dh_r
+          FROM (SELECT doc_id, branch, la, ta,
+                  0.35 + (doc_id % 4) * 0.1 AS s1,
+                  0.35 + (doc_id % 4) * 0.1 + 0.4 AS s2
+                FROM $base WHERE branch = 1)"""
+        // branch 2 (lngDiff 2.0 > pi/2), degenerate point edge at lat sb:
+        // endpoint point-to-point candidates, the Voronoi-bisector
+        // intersection candidate (B2: acos(cos d / |p|)), and the
+        // interior-max candidates (B3: acos(-|b_proj|) when the antipodal
+        // projection latitude falls strictly inside the clipped a-range)
+        val b2 = s"""SELECT doc_id, branch,
+            round(greatest(
+              acos(sin(alo)*sin(sb) + cos(alo)*cos(sb)*cos(2.0)),
+              acos(sin(ahi)*sin(sb) + cos(ahi)*cos(sb)*cos(2.0)),
+              CASE WHEN pLat >= alo AND pLat <= ahi
+                THEN acos(cos(2.0) / sqrt(cos(sb)*cos(sb) + sin(sb)*sin(sb)*cos(2.0)*cos(2.0)))
+                ELSE 0 END,
+              CASE WHEN pLat > alo AND ipLat > alo AND ipLat < least(pLat, ahi)
+                THEN acos(-sqrt(cos(sb)*cos(sb)*cos(2.0)*cos(2.0) + sin(sb)*sin(sb)))
+                ELSE 0 END,
+              CASE WHEN pLat < ahi AND ipLat > greatest(pLat, alo) AND ipLat < ahi
+                THEN acos(-sqrt(cos(sb)*cos(sb)*cos(2.0)*cos(2.0) + sin(sb)*sin(sb)))
+                ELSE 0 END), 9) AS dh_r
+          FROM (SELECT doc_id, branch, la - ta AS alo, la + ta AS ahi,
+                  0.25 + (doc_id % 6) * 0.08 AS sb,
+                  atan2(sin(0.25 + (doc_id % 6) * 0.08)*cos(2.0),
+                        cos(0.25 + (doc_id % 6) * 0.08)) AS pLat,
+                  atan2(-sin(0.25 + (doc_id % 6) * 0.08),
+                        -cos(0.25 + (doc_id % 6) * 0.08)*cos(2.0)) AS ipLat
+                FROM $base WHERE branch = 2)"""
+        s"$b0 UNION ALL $b1 UNION ALL $b2"
+      },
+
+      "q_s2_overlap" -> {
+        val h = OverlapH
+        val base = s"""(SELECT doc_id, CAST(doc_id % 3 AS INT) AS branch,
+             (doc_id*7919 % 17000)/100.0 - 85.0 AS la,
+             (doc_id*104729 % 36000)/100.0 - 180.0 AS lo
+           FROM documents
+           WHERE doc_id < 300
+             AND (doc_id*7919 % 17000)/100.0 - 85.0 BETWEEN -60.0 AND 60.0)"""
+        // branch 0: A = [la-h, la+h] x [lo-h, lo+h], B north-shifted by h,
+        // intersection = the vertex-quad [la, la+h] x [lo-h, lo+h]
+        val b0 = s"""SELECT doc_id, branch,
+            CAST(round(1000000 * (qi_area / qa_area)) AS BIGINT) AS fa_m,
+            CAST(round(1000000 * (qi_area / qb_area)) AS BIGINT) AS fb_m
+          FROM (SELECT doc_id, branch,
+            ${quadAreaSqlAliases("qa", s"la - $h", s"la + $h", s"lo - $h", s"lo + $h")},
+            ${quadAreaSqlAliases("qb", "la", s"la + 2*$h", s"lo - $h", s"lo + $h")},
+            ${quadAreaSqlAliases("qi", "la", s"la + $h", s"lo - $h", s"lo + $h")}
+            FROM $base WHERE branch = 0)"""
+        // branch 1: B concentric at half size — fully contained, frac_b
+        // clamps to exactly 1
+        val b1 = s"""SELECT doc_id, branch,
+            CAST(round(1000000 * (qb_area / qa_area)) AS BIGINT) AS fa_m,
+            CAST(1000000 AS BIGINT) AS fb_m
+          FROM (SELECT doc_id, branch,
+            ${quadAreaSqlAliases("qa", s"la - $h", s"la + $h", s"lo - $h", s"lo + $h")},
+            ${quadAreaSqlAliases("qb", s"la - $h/2", s"la + $h/2", s"lo - $h/2", s"lo + $h/2")}
+            FROM $base WHERE branch = 1)"""
+        // branch 2: B lng-shifted past A with a gap of h — disjoint
+        val b2 = s"""SELECT doc_id, branch, CAST(0 AS BIGINT) AS fa_m,
+            CAST(0 AS BIGINT) AS fb_m FROM $base WHERE branch = 2"""
+        s"$b0 UNION ALL $b1 UNION ALL $b2"
+      },
 
       "q_s2_edge_cross" -> {
         // proper-crossing mirror: the engine's CrossingSign reduces (for
@@ -3612,6 +3844,15 @@ object SparkEntry {
                                 % 1000003 < 400000)
                         THEN 1 ELSE 0 END)) AS BIGINT) AS k
           FROM documents d, (VALUES (1), (2), (3)) f(f)
-          WHERE d.doc_id < 300)""")
+          WHERE d.doc_id < 300)""",
+
+      "q_media_mjpg" -> """
+        SELECT concat('j', CAST(d.doc_id AS VARCHAR)) AS media_ref,
+               CAST(f.f * 200 AS BIGINT) AS frame_off,
+               ((d.doc_id*4 + f.f + 131) * 2654435761 % 1000003 < 500000)
+                 <> ((d.doc_id*4 + f.f + 130) * 2654435761 % 1000003 < 500000)
+                 AS is_cut
+        FROM documents d, (VALUES (1), (2), (3)) f(f)
+        WHERE d.doc_id < 300""")
   }
 }

@@ -37,6 +37,13 @@ final case class R1Interval(lo: Double, hi: Double) {
     R1Interval(math.max(lo, y.lo), math.min(hi, y.hi))
   def setLo(p: Double): R1Interval = R1Interval(p, hi)
   def setHi(p: Double): R1Interval = R1Interval(lo, p)
+
+  /** Directed Hausdorff distance to `y`: max over points of this of the
+    * distance to y (reference r1interval.h:144-148). */
+  def directedHausdorffDistance(y: R1Interval): Double =
+    if (isEmpty) 0.0
+    else if (y.isEmpty) Double.PositiveInfinity
+    else math.max(0.0, math.max(hi - y.hi, y.lo - lo))
 }
 object R1Interval {
   val Empty: R1Interval = R1Interval(1, 0)
@@ -182,6 +189,28 @@ final case class S1Interval(lo: Double, hi: Double) {
       val dlo = positiveDistance(p, lo)
       val dhi = positiveDistance(hi, p)
       if (dlo < dhi) lo else hi
+    }
+  }
+
+  /** Directed Hausdorff distance to `y` on the circle: max over points of
+    * this of the angular distance to y (reference s1interval.cc:145-162 —
+    * realized either inside y's complement center or at matching hi/lo
+    * endpoint pairs). */
+  def directedHausdorffDistance(y: S1Interval): Double = {
+    if (y.contains(this)) 0.0 // includes the case where this is empty
+    else if (y.isEmpty) math.Pi // maximum possible distance on S1
+    else {
+      val yc = y.complementCenter
+      if (contains(yc)) positiveDistance(y.hi, yc)
+      else {
+        val hiHi =
+          if (S1Interval(y.hi, yc).contains(hi)) positiveDistance(y.hi, hi)
+          else 0.0
+        val loLo =
+          if (S1Interval(yc, y.lo).contains(lo)) positiveDistance(lo, y.lo)
+          else 0.0
+        math.max(hiHi, loLo)
+      }
     }
   }
 }

@@ -75,6 +75,39 @@ final case class S2LatLngRect(lat: R1Interval, lng: S1Interval) extends S2Region
     V3.fromLatLngRadians(la, ln)
   }
 
+  /** Distance (radians) from the point at (latR, lngR) to this rect; 0 if
+    * contained (reference s2latlng_rect.cc:562-586 GetDistance(S2LatLng)).
+    * The rect must be non-empty. */
+  def distanceToLatLng(latR: Double, lngR: Double): Double = {
+    if (lng.contains(lngR))
+      return math.max(0.0, math.max(latR - lat.hi, lat.lo - latR))
+    val interval = S1Interval(lng.hi, lng.complementCenter)
+    val aLng = if (interval.contains(lngR)) lng.hi else lng.lo
+    val lo = V3.fromLatLngRadians(lat.lo, aLng)
+    val hi = V3.fromLatLngRadians(lat.hi, aLng)
+    S2LatLngRect.edgeDistanceRadians(V3.fromLatLngRadians(latR, lngR), lo, hi)
+  }
+
+  /** Directed Hausdorff distance (radians) to `other`: the max over points
+    * p of this rect of the distance from p to `other` (reference
+    * s2latlng_rect.cc:593-686). Decomposes into the directed Hausdorff
+    * distance of the lng intervals plus the two-longitudinal-edge problem,
+    * whose candidate extrema are the edge endpoints, the equator crossing
+    * (Voronoi case 1, lng_diff <= pi/2), or the Voronoi-bisector and
+    * interior-maximum points (case 2, lng_diff > pi/2). */
+  def directedHausdorffDistance(other: S2LatLngRect): Double = {
+    if (isEmpty) return 0.0
+    if (other.isEmpty) return math.Pi // maximum possible distance on S2
+    val lngDistance = lng.directedHausdorffDistance(other.lng)
+    S2LatLngRect.directedHausdorffDistance(lngDistance, lat, other.lat)
+  }
+
+  /** Undirected Hausdorff distance (radians) between the two rects
+    * (reference s2latlng_rect.cc:588-591). */
+  def hausdorffDistance(other: S2LatLngRect): Double =
+    math.max(directedHausdorffDistance(other),
+      other.directedHausdorffDistance(this))
+
   override def capBound: S2Cap = {
     if (isEmpty) return S2Cap.Empty
     var poleZ = 0.0; var poleAngle = 0.0
@@ -149,6 +182,77 @@ object S2LatLngRect {
     S2LatLngRect(
       R1Interval(math.toRadians(latLo), math.toRadians(latHi)),
       S1Interval.normalized(math.toRadians(lngLo), math.toRadians(lngHi)))
+
+  /** Min distance (radians) from x to the geodesic segment [a, b]. */
+  private[core] def edgeDistanceRadians(x: V3, a: V3, b: V3): Double = {
+    val d2 = S2EdgeDistances.distance2(x, a, b)
+    2 * math.asin(math.min(1.0, 0.5 * math.sqrt(d2)))
+  }
+
+  /** Directed Hausdorff distance from one longitudinal edge spanning
+    * latitudes `a` (at longitude 0) to the other spanning `b` (at
+    * longitude `lngDiff`), per the Voronoi-region case analysis of
+    * reference s2latlng_rect.cc:610-686. */
+  private def directedHausdorffDistance(lngDiff: Double, a: R1Interval,
+                                        b: R1Interval): Double = {
+    require(lngDiff >= 0 && lngDiff <= math.Pi, s"lngDiff $lngDiff")
+    if (lngDiff == 0) return a.directedHausdorffDistance(b)
+    val bLng = lngDiff
+    val bLo = V3.fromLatLngRadians(b.lo, bLng)
+    val bHi = V3.fromLatLngRadians(b.hi, bLng)
+    val aLo = V3.fromLatLngRadians(a.lo, 0)
+    val aHi = V3.fromLatLngRadians(a.hi, 0)
+    // candidate A1/B1: the two endpoints of a
+    var maxDistance = math.max(
+      edgeDistanceRadians(aLo, bLo, bHi), edgeDistanceRadians(aHi, bLo, bHi))
+    if (lngDiff <= math.Pi / 2) {
+      // case A2: the equator crossing, when both edges cross the equator
+      if (a.contains(0) && b.contains(0))
+        maxDistance = math.max(maxDistance, lngDiff)
+    } else {
+      // case B2: intersection of a with the Voronoi edge E3
+      val p = bisectorIntersection(b, bLng)
+      val pLat = V3.latRadians(p)
+      if (a.contains(pLat))
+        maxDistance = math.max(maxDistance, p.angle(bLo))
+      // case B3: interior maxima of the sub-edges below/above that point
+      if (pLat > a.lo)
+        maxDistance = math.max(maxDistance,
+          interiorMaxDistance(R1Interval(a.lo, math.min(pLat, a.hi)), bLo))
+      if (pLat < a.hi)
+        maxDistance = math.max(maxDistance,
+          interiorMaxDistance(R1Interval(math.max(pLat, a.lo), a.hi), bHi))
+    }
+    maxDistance
+  }
+
+  /** Intersection of longitude 0 with the perpendicular bisector of the
+    * longitudinal edge at `lng` spanning `lat`
+    * (reference s2latlng_rect.cc:688-706). */
+  private def bisectorIntersection(lat: R1Interval, lngIn: Double): V3 = {
+    val lng = math.abs(lngIn)
+    val latCenter = lat.center
+    // a vector orthogonal to the bisector of the given longitudinal edge
+    val orthoBisector =
+      if (latCenter >= 0) V3.fromLatLngRadians(latCenter - math.Pi / 2, lng)
+      else V3.fromLatLngRadians(-latCenter - math.Pi / 2, lng - math.Pi)
+    val orthoLng = V3(0, -1, 0) // orthogonal to longitude 0
+    S2EdgeCrossings.robustCrossProd(orthoLng, orthoBisector).normalize
+  }
+
+  /** Max distance from b to the longitude-0 segment spanning `aLat`, if
+    * the max occurs in the segment's interior; otherwise -1
+    * (reference s2latlng_rect.cc:708-727). */
+  private def interiorMaxDistance(aLat: R1Interval, b: V3): Double = {
+    // longitude 0 is in the y=0 plane; b.x >= 0 implies the max does not
+    // occur in the interior
+    if (aLat.isEmpty || b.x >= 0) return -1.0
+    // antipode of b's projection onto the y=0 plane
+    val intersectionPoint = V3(-b.x, 0, -b.z).normalize
+    if (aLat.interiorContains(V3.latRadians(intersectionPoint)))
+      b.angle(intersectionPoint)
+    else -1.0
+  }
 
   def intersectsLngEdge(a: V3, b: V3, lat: R1Interval, lng: Double): Boolean =
     S2EdgeCrossings.crossingSign(a, b,

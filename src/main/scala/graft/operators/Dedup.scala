@@ -277,14 +277,16 @@ object Dedup {
       val nbrMin = edges.join(
         labels.select(col("id").as("rep"), col("label").as("nbr_label")), "rep")
         .groupBy("id").agg(min("nbr_label").as("nbr_label"))
+      // carry the previous label through the update so convergence is ONE
+      // scan of the freshly-cached result — not a separate join of next
+      // against labels (which was a second full job per round)
       val next = labels.join(nbrMin, Seq("id"), "left")
-        .select(col("id"),
+        .select(col("id"), col("label").as("prev_label"),
           least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
         .cache()
-      converged = next.as("a").join(labels.as("b"), "id")
-        .where(col("a.label") =!= col("b.label")).isEmpty
+      converged = next.where(col("label") =!= col("prev_label")).isEmpty
       labels.unpersist()
-      labels = next
+      labels = next.select("id", "label")
       it += 1
     }
     edges.unpersist()

@@ -63,8 +63,22 @@ object Density {
         .select(S2.orderKey(col("cell")).as("ord"), col("weight"))
         .collect().map(r => (r.getLong(0), r.getLong(1), l))
 
-    var entries = histAt(docs, level)
-    var curLevel = level
+    // airtight driver guard: the level cap alone still admits ~6*4^12 ≈
+    // 1e8 occupied cells on uniformly dense worldwide data. Bound the
+    // ACTUAL occupied-cell count with one cheap map-side HLL pass
+    // (approx_count_distinct, ~2% error) and descend to a coarser entry
+    // level until the coarse histogram provably fits on the driver — the
+    // adaptive refinement below still reaches fine levels, but only on
+    // already-hot subsets.
+    val maxDriverCells = 2L * 1000 * 1000
+    var entryLevel = level
+    while (entryLevel > 2 && docs.agg(
+        approx_count_distinct(S2.parent(col("cell_id"), entryLevel)))
+        .head().getLong(0) > maxDriverCells)
+      entryLevel -= 2
+
+    var entries = histAt(docs, entryLevel)
+    var curLevel = entryLevel
     while (curLevel < maxRefineLevel &&
            entries.exists { case (_, w, l) => w > targetW && l == curLevel }) {
       val next = curLevel + 4

@@ -201,10 +201,41 @@ object Multimodal {
       * private format. */
     def encodeAviMpng(frames: Seq[Array[Int]], w: Int, h: Int,
                       fps: Int): Array[Byte] = {
-      require(frames.nonEmpty, "encodeAviMpng: at least one frame")
-      require(fps > 0, s"encodeAviMpng: fps must be positive, got $fps")
       require(frames.forall(_.length == w * h),
         s"encodeAviMpng: every frame must be $w x $h pixels")
+      encodeAvi(frames.map(encodePng(_, w, h)), "MPNG", w, h, fps)
+    }
+
+    /** Gray JPEG encode via javax.imageio (lossy — flat fields decode to
+      * within a few gray levels of the input). */
+    def encodeJpeg(px: Array[Int], w: Int, h: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      val raster = img.getRaster
+      var i = 0
+      while (i < px.length) { raster.setSample(i % w, i / w, 0, px(i)); i += 1 }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", bos)
+      bos.toByteArray
+    }
+
+    /** As [[encodeAviMpng]] but with the Motion-JPEG codec (FourCC 'MJPG',
+      * JPEG frame payloads) — the most common real-world AVI video codec.
+      * The demuxer and frame decoder are codec-agnostic (chunk walk +
+      * ImageIO), so MJPG files decode through the identical path; only
+      * the lossless-roundtrip guarantee of MPNG is given up. */
+    def encodeAviMjpg(frames: Seq[Array[Int]], w: Int, h: Int,
+                      fps: Int): Array[Byte] = {
+      require(frames.forall(_.length == w * h),
+        s"encodeAviMjpg: every frame must be $w x $h pixels")
+      encodeAvi(frames.map(encodeJpeg(_, w, h)), "MJPG", w, h, fps)
+    }
+
+    /** Shared RIFF/AVI container writer over per-frame codec payloads. */
+    private def encodeAvi(payloads: Seq[Array[Byte]], fourcc: String,
+                          w: Int, h: Int, fps: Int): Array[Byte] = {
+      require(payloads.nonEmpty, "encodeAvi: at least one frame")
+      require(fps > 0, s"encodeAvi: fps must be positive, got $fps")
       val bos = new java.io.ByteArrayOutputStream()
       def u32(v: Long): Array[Byte] = Array(
         (v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte,
@@ -218,28 +249,27 @@ object Multimodal {
       }
       def list(kind: String, body: Array[Byte]): Array[Byte] =
         chunk("LIST", fcc(kind) ++ body)
-      val pngs = frames.map(encodePng(_, w, h))
       val usecPerFrame = 1000000L / fps
-      val maxBuf = pngs.map(_.length).max
+      val maxBuf = payloads.map(_.length).max
       val avih = u32(usecPerFrame) ++ u32(maxBuf.toLong * fps) ++ u32(0) ++
-        u32(0x10) /* AVIF_HASINDEX */ ++ u32(frames.length.toLong) ++
+        u32(0x10) /* AVIF_HASINDEX */ ++ u32(payloads.length.toLong) ++
         u32(0) ++ u32(1) /* streams */ ++ u32(maxBuf.toLong) ++
         u32(w.toLong) ++ u32(h.toLong) ++ Array.fill(16)(0.toByte)
-      val strh = fcc("vids") ++ fcc("MPNG") ++ u32(0) ++ u16(0) ++ u16(0) ++
+      val strh = fcc("vids") ++ fcc(fourcc) ++ u32(0) ++ u16(0) ++ u16(0) ++
         u32(0) ++ u32(1) /* scale */ ++ u32(fps.toLong) /* rate */ ++
-        u32(0) ++ u32(frames.length.toLong) ++ u32(maxBuf.toLong) ++
+        u32(0) ++ u32(payloads.length.toLong) ++ u32(maxBuf.toLong) ++
         u32(0xFFFFFFFFL) /* quality */ ++ u32(0) ++
         u16(0) ++ u16(0) ++ u16(w) ++ u16(h)
       val strf = u32(40) ++ u32(w.toLong) ++ u32(h.toLong) ++ u16(1) ++
-        u16(24) ++ fcc("MPNG") ++ u32(w.toLong * h * 3) ++
+        u16(24) ++ fcc(fourcc) ++ u32(w.toLong * h * 3) ++
         u32(0) ++ u32(0) ++ u32(0) ++ u32(0)
       val hdrl = list("hdrl", chunk("avih", avih) ++
         list("strl", chunk("strh", strh) ++ chunk("strf", strf)))
-      val frameChunks = pngs.map(chunk("00dc", _))
+      val frameChunks = payloads.map(chunk("00dc", _))
       val movi = list("movi", frameChunks.flatten.toArray)
       // idx1: offsets are from the start of the 'movi' list's kind tag
       var off = 4L
-      val idxEntries = pngs.map { p =>
+      val idxEntries = payloads.map { p =>
         val e = fcc("00dc") ++ u32(0x10) /* KEYFRAME */ ++ u32(off) ++
           u32(p.length.toLong)
         off += 8 + p.length + (p.length % 2)

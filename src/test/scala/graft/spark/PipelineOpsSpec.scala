@@ -78,6 +78,48 @@ class PipelineOpsSpec extends AnyFunSuite {
     labels.foreach { case (id, rep) => assert(rep < id) }
   }
 
+  test("nearDupClusters runs ONE job per propagation round (folded convergence check)") {
+    // the convergence check is folded into the label update (prev_label
+    // carried through the join), so each round costs exactly one Spark
+    // job: the isEmpty over the freshly-cached result. Count jobs across
+    // the whole call: 1 (count) + R rounds + 1 (final collect); R for the
+    // planted fixture is small, so anything past rounds+3 means the
+    // separate per-round convergence join crept back in.
+    // deterministic job accounting: AQE re-plans spawn sub-jobs and
+    // broadcast builds add one job per join, so pin both off and
+    // materialize the fixture before counting
+    val fixture = withDups.cache()
+    fixture.count()
+    val saved = Seq("spark.sql.adaptive.enabled",
+      "spark.sql.autoBroadcastJoinThreshold").map(k => k -> spark.conf.get(k))
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val n = Dedup.nearDupClusters(fixture, "doc_id", "text").count()
+      assert(n > 0)
+      org.apache.spark.sql.graftbridge.ListenerBridge
+        .waitUntilListenersProcessed(spark.sparkContext)
+      val total = jobs.get()
+      // 1 (docs.count) + R propagation rounds at ONE job each (the
+      // isEmpty over the freshly-cached update; the planted star fixture
+      // converges in R <= 2) + 1 (final count) = 4; the old shape ran a
+      // second convergence-join job per round (>= 6 here)
+      assert(total <= 5, s"nearDupClusters ran $total jobs — " +
+        "expected one job per propagation round plus count/collect")
+    } finally {
+      spark.sparkContext.removeSparkListener(listener)
+      saved.foreach { case (k, v) => spark.conf.set(k, v) }
+      fixture.unpersist(); ()
+    }
+  }
+
   test("simhash pairs include all planted exact duplicates (hamming 0)") {
     val found = Dedup.simHashPairs(withDups, "doc_id", "text", maxHamming = 3)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
@@ -484,6 +526,31 @@ class PipelineOpsSpec extends AnyFunSuite {
       codec.demuxAvi(mut)
       codec.decodeFrameReal(mut, fuzz.nextLong(1000), 8, 8)
     }
+  }
+
+  test("multimodal: MJPG AVIs demux and decode through the same path (lossy-bounded)") {
+    val codec = Multimodal.MediaCodec
+    // flat fields at three gray levels: JPEG decode of a flat 8x8 block is
+    // within a few gray levels of the input
+    val levels = Seq(30, 128, 220)
+    val frames = levels.map(v => Array.fill(8 * 8)(v))
+    val avi = codec.encodeAviMjpg(frames, 8, 8, fps = 4)
+    assert(new String(avi, 0, 4, "US-ASCII") == "RIFF")
+    // the MJPG FourCC is what the container advertises
+    assert(new String(avi).contains("MJPG") && !new String(avi).contains("MPNG"))
+    val Some((payloads, w, h, usec)) = codec.demuxAvi(avi)
+    assert((payloads.length, w, h, usec) == (3, 8, 8, 250000L))
+    // JPEG magic on every payload; decode lands within 4 gray levels
+    payloads.zip(levels).foreach { case (jpg, v) =>
+      assert((jpg(0) & 0xFF) == 0xFF && (jpg(1) & 0xFF) == 0xD8, "JPEG SOI")
+      val Some((px, pw, ph)) = codec.decodeImageReal(jpg)
+      assert((pw, ph) == (8, 8))
+      px.foreach(p => assert(math.abs(p - v / 255.0f) < 4.5f / 255,
+        s"flat level $v decoded to $p"))
+    }
+    // frame selection by presentation time (250 ms per frame at 4 fps)
+    val f1 = codec.decodeFrameReal(avi, 300, 8, 8).get
+    f1.foreach(p => assert(math.abs(p - 128 / 255.0f) < 4.5f / 255))
   }
 
   test("multimodal: frameFeaturesReal demuxes real AVIs; sceneChanges exact on binary frames") {

@@ -119,4 +119,43 @@ class RegionJoinsSpec extends AnyFunSuite {
   }
 
   object S2 { val EarthRadiusMeters = graft.functions.S2.EarthRadiusMeters }
+
+  test("overlapFractionsJoin matches the pairwise kernel and never goes cartesian") {
+    import spark.implicits._
+    // two grids of 1.2deg quads, offset so some pairs overlap partially,
+    // some fully contain, most are disjoint
+    def quadText(lat: Double, lng: Double, h: Double): String = {
+      val p = new S2Polygon(Array(S2Loop(Array(
+        V3.fromLatLngDegrees(lat - h, lng - h), V3.fromLatLngDegrees(lat - h, lng + h),
+        V3.fromLatLngDegrees(lat + h, lng + h), V3.fromLatLngDegrees(lat + h, lng - h)))))
+      S2TextFormat.polygonToString(p)
+    }
+    val lefts = (0 until 24).map(i => (i, quadText(i % 6 * 5.0, i / 6 * 5.0, 0.6)))
+    val rights = (0 until 24).map(j =>
+      (j, quadText(j % 6 * 5.0 + 0.5, j / 6 * 5.0 + 0.3, if (j % 5 == 0) 2.0 else 0.6)))
+    val joined = RegionJoins.overlapFractionsJoin(
+      lefts.toDF("id", "poly"), "id", "poly",
+      rights.toDF("id", "poly"), "id", "poly")
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      s"overlap join must stay an equi-join:\n$plan")
+    val got = joined.collect()
+      .map(r => ((r.getInt(0), r.getInt(1)), (r.getDouble(2), r.getDouble(3)))).toMap
+    val want = (for {
+      (li, lp) <- lefts; (rj, rp) <- rights
+      fr = S2BooleanOps.overlapFractions(
+        graft.functions.PolyCache.get(lp), graft.functions.PolyCache.get(rp))
+      if fr._1 > 0
+    } yield ((li, rj), fr)).toMap
+    assert(got.keySet == want.keySet)
+    for ((k, (fa, fb)) <- want) {
+      assert(got(k)._1 == fa && got(k)._2 == fb, s"pair $k: ${got(k)} vs ($fa,$fb)")
+    }
+    // the fixture must actually exercise all three regimes
+    assert(want.nonEmpty)
+    assert(want.values.exists(_._1 == 1.0),
+      "no contained pair in fixture (left inside an enlarged right quad)")
+    assert(want.values.exists(f => f._1 > 0 && f._1 < 1 && f._2 < 1),
+      "no partial pair in fixture")
+  }
 }
