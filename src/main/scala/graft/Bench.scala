@@ -566,7 +566,8 @@ object Bench {
             DocSource.docs(s, probeDocs).select("doc_id", "lat", "lng"),
             col("lat"), col("lng"))
             .select(graft.functions.S2.orderKey(col("cell_id")).as("ord"),
-              col("doc_id").cast("long").as("id"))
+              // synthetic doc_id is "docNNNNNNNNN" — strip the prefix
+              col("doc_id").substr(4, 9).cast("long").as("id"))
             .sort(col("ord"), col("id"))
           // per-partition positional fold over the fully-sorted result:
           // (count, rolling hash, sorted-within) — partitions arrive in
