@@ -1351,6 +1351,30 @@ object SparkEntry {
             GROUP BY t.qid""")
     }),
 
+    "q_s2_exists" -> ((s, dir) => {
+      // EXISTS / NOT EXISTS over a spatial predicate via the documented
+      // safe helpers (S2SpatialJoinRule consciously skips LeftSemi/Anti;
+      // existsJoin = inner term equi-join + id dedup, notExistsJoin =
+      // matched-id set anti-joined back). Polygons are P1/P2, same as
+      // q_s2_sql_join, so the exact refine matches the DuckDB PIP oracle.
+      import s.implicits._
+      S2.registerAll(s)
+      S2.enableSpatialJoins(s)
+      val docs = docsGeo(s, dir)
+      val polys = Seq(
+        (1, "0.005:0.005, 0.005:35.005, 30.005:35.005, 30.005:0.005"),
+        (2, "-40.005:-80.005, -40.005:-30.005, -10.005:-30.005, -10.005:-80.005"))
+        .toDF("qid", "poly")
+      val cond = S2.contains(polys("poly"), docs("lat"), docs("lng"))
+      val ex = S2Joins.existsJoin(docs, Seq("doc_id"), polys, cond)
+        .select(lit("exists").as("mode"), col("doc_id"))
+      val nx = S2Joins.notExistsJoin(docs, Seq("doc_id"), polys, cond)
+        .select(lit("not_exists").as("mode"), col("doc_id"))
+      ex.unionByName(nx).groupBy("mode")
+        .agg(count(lit(1)).as("cnt"),
+          sum("doc_id").cast("bigint").as("sum_id"))
+    }),
+
     "q_s2_covering" -> ((s, dir) => {
       import s.implicits._
       caps.toDF("cid", "center", "radius2")
@@ -3080,6 +3104,17 @@ object SparkEntry {
         ON (p.x-t.tx)*(p.x-t.tx) + (p.y-t.ty)*(p.y-t.ty) + (p.z-t.tz)*(p.z-t.tz)
            <= $withinDistR2
         GROUP BY t.qid""",
+
+      // EXISTS = membership in P1 ∪ P2, NOT EXISTS its complement —
+      // same P1/P2 PIP mirrors as q_s2_sql_join
+      "q_s2_exists" -> s"""
+        SELECT 'exists' AS mode, count(*) AS cnt,
+               CAST(sum(doc_id) AS BIGINT) AS sum_id
+        FROM $docsXyzSql p WHERE (${pipWhere(P1)}) OR (${pipWhere(P2)})
+        UNION ALL
+        SELECT 'not_exists' AS mode, count(*) AS cnt,
+               CAST(sum(doc_id) AS BIGINT) AS sum_id
+        FROM $docsXyzSql p WHERE NOT ((${pipWhere(P1)}) OR (${pipWhere(P2)}))""",
 
       "q_s2_tile_assign" -> s"""
         SELECT v.tile_id, count(*) AS cnt, CAST(sum(d.doc_id) AS BIGINT) AS sum_id

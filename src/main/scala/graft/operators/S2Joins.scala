@@ -175,6 +175,47 @@ object S2Joins {
     docs.join(matches, "doc_id")
   }
 
+  /** `WHERE EXISTS` over a spatial predicate, re-expressed soundly.
+    *
+    * [[graft.plans.S2SpatialJoinRule]] consciously does NOT rewrite
+    * LeftSemi joins: the point side explodes ~13 ancestor index terms, so
+    * a semi join over the exploded child would admit a matching row up to
+    * 13 times, and collapsing the copies back needs a per-row identity a
+    * logical rule cannot invent (its scaladoc documents the scoping).
+    * This helper is the documented safe path for the EXISTS shape: an
+    * INNER join on `condition` — which the rule plans as the term
+    * equi-join + exact refine, never BroadcastNestedLoopJoin — projected
+    * back to the left side and collapsed over `idCols`.
+    *
+    * Contract: `idCols` must uniquely identify `left` rows (the same
+    * requirement [[graft.operators.RegionJoins.intersectsJoin]] states
+    * for its id columns); duplicate ids would collapse distinct rows.
+    * Cost at scale: one term equi-join plus one dedup shuffle keyed on
+    * the id columns of the MATCHED subset only — no second pass over
+    * `left`. */
+  def existsJoin(left: DataFrame, idCols: Seq[String], right: DataFrame,
+                 condition: Column): DataFrame = {
+    require(idCols.nonEmpty,
+      "existsJoin needs id columns that uniquely identify left rows")
+    left.join(right, condition, "inner")
+      .select(left.columns.toIndexedSeq.map(left(_)): _*)
+      .dropDuplicates(idCols)
+  }
+
+  /** `WHERE NOT EXISTS` counterpart of [[existsJoin]]: the matched id set
+    * (term equi-join + id-only dedup) is anti-joined back onto `left`.
+    * Two joins are unavoidable — a non-matching row never appears in the
+    * candidate join at all — but the second join's build side is ids
+    * only (broadcastable whenever the match set is small). */
+  def notExistsJoin(left: DataFrame, idCols: Seq[String], right: DataFrame,
+                    condition: Column): DataFrame = {
+    require(idCols.nonEmpty,
+      "notExistsJoin needs id columns that uniquely identify left rows")
+    val matched = left.join(right, condition, "inner")
+      .select(idCols.map(left(_)): _*).dropDuplicates(idCols)
+    left.join(matched, idCols, "left_anti")
+  }
+
   // =======================================================================
   // 3. tile assignment (S2RegionSharder semantics)
   // =======================================================================

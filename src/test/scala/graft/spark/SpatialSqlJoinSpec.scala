@@ -266,4 +266,39 @@ class SpatialSqlJoinSpec extends AnyFunSuite {
       assert(wdExpected.nonEmpty, s"seed $seed within-distance fixture is trivial")
     }
   }
+
+  test("existsJoin / notExistsJoin: EXISTS semantics, term plan, exact partition of left") {
+    import spark.implicits._
+    import graft.operators.S2Joins
+    val docs = docsDf(600).cache()
+    val regions = polys.toDF("qid", "poly")
+    val cond = S2.contains(regions("poly"), docs("lat"), docs("lng"))
+
+    val ex = S2Joins.existsJoin(docs, Seq("doc_id"), regions, cond)
+    val nx = S2Joins.notExistsJoin(docs, Seq("doc_id"), regions, cond)
+    val exPlan = finalPlan(ex)
+    val nxPlan = finalPlan(nx)
+    for ((p, nm) <- Seq((exPlan, "exists"), (nxPlan, "not_exists"))) {
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$nm: $p")
+      assert(!p.contains("CartesianProduct"), s"$nm: $p")
+      assert(p.contains("Generate"), s"$nm: term explode missing: $p")
+    }
+
+    // brute force: a doc EXISTS-matches iff ANY region contains it
+    val rows = docs.collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    val parsed = polys.map { case (_, t) => S2TextFormat.parsePolygon(t) }
+    val expectIn = rows.collect { case (id, la, ln)
+      if parsed.exists(_.contains(V3.fromLatLngDegrees(la, ln))) => id }.toSet
+    val gotIn = ex.collect().map(_.getLong(0)).toSet
+    val gotOut = nx.collect().map(_.getLong(0)).toSet
+    assert(gotIn == expectIn)
+    assert(expectIn.nonEmpty && gotOut.nonEmpty, "trivial fixture")
+    // each helper emits each matching left row EXACTLY once, and together
+    // they partition the left side
+    assert(ex.count() == gotIn.size.toLong)
+    assert((gotIn & gotOut).isEmpty)
+    assert(gotIn.size + gotOut.size == rows.length)
+    // full left row survives the exists projection (not just the id)
+    assert(ex.columns.toSeq == docs.columns.toSeq)
+  }
 }
