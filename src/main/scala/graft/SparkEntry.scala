@@ -2222,6 +2222,30 @@ object SparkEntry {
         Multimodal.frameFeaturesReal(media, framesPerDoc = 4,
           targetW = 8, targetH = 8), threshold = 0.05)
         .select(col("media_ref"), col("frame_off"), col("is_cut"))
+    }),
+
+    "q_media_mp4" -> ((s, dir) => {
+      // ISO-BMFF / MP4 path (round-5): the SAME level pattern, frame
+      // pipeline, and oracle shape as q_media_mjpg, but the bytes are a
+      // real MP4 (ftyp + mdat + moov sample tables, Motion-JPEG 'jpeg'
+      // sample entries) demuxed by the pure-JDK box-tree walker through
+      // the container-agnostic demuxVideo seam — the container-
+      // generality claim of the video path, gated end-to-end.
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .where(col("doc_id") < 300)
+      val mp4Udf = udf { (id: Long) =>
+        val frames = (0 until 4).map { f =>
+          val hi = (id * 4 + f + 131L) * 2654435761L % 1000003L < 500000L
+          Array.fill(64)(if (hi) 220 else 30)
+        }
+        Multimodal.MediaCodec.encodeMp4Mjpg(frames, 8, 8, fps = 5)
+      }
+      val media = docs.select(concat(lit("m"), col("doc_id")).as("media_ref"),
+        mp4Udf(col("doc_id")).as("bytes"))
+      Multimodal.sceneChanges(
+        Multimodal.frameFeaturesReal(media, framesPerDoc = 4,
+          targetW = 8, targetH = 8), threshold = 0.05)
+        .select(col("media_ref"), col("frame_off"), col("is_cut"))
     }))
 
   /** DuckDB-runnable oracles (same parquet tables, same column names).
@@ -3883,6 +3907,16 @@ object SparkEntry {
 
       "q_media_mjpg" -> """
         SELECT concat('j', CAST(d.doc_id AS VARCHAR)) AS media_ref,
+               CAST(f.f * 200 AS BIGINT) AS frame_off,
+               ((d.doc_id*4 + f.f + 131) * 2654435761 % 1000003 < 500000)
+                 <> ((d.doc_id*4 + f.f + 130) * 2654435761 % 1000003 < 500000)
+                 AS is_cut
+        FROM documents d, (VALUES (1), (2), (3)) f(f)
+        WHERE d.doc_id < 300""",
+
+      // same level pattern through the MP4 container ('m' refs)
+      "q_media_mp4" -> """
+        SELECT concat('m', CAST(d.doc_id AS VARCHAR)) AS media_ref,
                CAST(f.f * 200 AS BIGINT) AS frame_off,
                ((d.doc_id*4 + f.f + 131) * 2654435761 % 1000003 < 500000)
                  <> ((d.doc_id*4 + f.f + 130) * 2654435761 % 1000003 < 500000)

@@ -330,13 +330,226 @@ object Multimodal {
       } catch { case _: Exception => None }
     }
 
-    /** REAL video frame decode: demux the AVI, pick the frame whose
-      * presentation time covers `offsetMs` (index = offsetMs / msPerFrame,
-      * clamped), decode it via javax.imageio, bilinear-resize to w x h.
-      * None when the bytes are not an AVI or the frame is undecodable. */
+    /** Encode gray frames as a REAL ISO-BMFF / MP4 file (ISO/IEC
+      * 14496-12 box layout: ftyp + mdat + moov{mvhd, trak{tkhd,
+      * mdia{mdhd, hdlr 'vide', minf{vmhd, dinf/dref, stbl{stsd 'jpeg',
+      * stts, stsc, stsz, stco}}}}}) with Motion-JPEG samples — each
+      * sample is a whole JPEG image, one sample per chunk, absolute
+      * chunk offsets, movie/media timescale = fps so every sample lasts
+      * one tick. A file any ISO-BMFF demuxer accepts, not a private
+      * format; the absent stss box means every sample is a sync sample,
+      * as MJPEG requires. */
+    def encodeMp4Mjpg(frames: Seq[Array[Int]], w: Int, h: Int,
+                      fps: Int): Array[Byte] = {
+      require(frames.forall(_.length == w * h),
+        s"encodeMp4Mjpg: every frame must be $w x $h pixels")
+      encodeMp4(frames.map(encodeJpeg(_, w, h)), "jpeg", w, h, fps)
+    }
+
+    /** Shared ISO-BMFF writer over per-sample codec payloads (big-endian
+      * throughout, unlike RIFF). */
+    private def encodeMp4(payloads: Seq[Array[Byte]], format: String,
+                          w: Int, h: Int, fps: Int): Array[Byte] = {
+      require(payloads.nonEmpty, "encodeMp4: at least one sample")
+      require(fps > 0, s"encodeMp4: fps must be positive, got $fps")
+      def u32(v: Long): Array[Byte] = Array(
+        ((v >> 24) & 0xFF).toByte, ((v >> 16) & 0xFF).toByte,
+        ((v >> 8) & 0xFF).toByte, (v & 0xFF).toByte)
+      def u16(v: Int): Array[Byte] =
+        Array(((v >> 8) & 0xFF).toByte, (v & 0xFF).toByte)
+      def fcc(s: String): Array[Byte] = s.getBytes("US-ASCII")
+      def box(typ: String, body: Array[Byte]): Array[Byte] =
+        u32(body.length + 8L) ++ fcc(typ) ++ body
+      val n = payloads.length
+      val ftyp = box("ftyp",
+        fcc("isom") ++ u32(0x200) ++ fcc("isom") ++ fcc("iso2") ++ fcc("mp41"))
+      // absolute file offset of each sample: mdat body starts right after
+      // ftyp + the 8-byte mdat header; one sample per chunk
+      val sampleOffsets =
+        payloads.scanLeft(ftyp.length + 8L)(_ + _.length).init
+      val matrix = u32(0x10000) ++ u32(0) ++ u32(0) ++ u32(0) ++
+        u32(0x10000) ++ u32(0) ++ u32(0) ++ u32(0) ++ u32(0x40000000)
+      val mvhd = box("mvhd", u32(0) ++ u32(0) ++ u32(0) ++ u32(fps.toLong) ++
+        u32(n.toLong) ++ u32(0x10000) ++ u16(0x100) ++ u16(0) ++
+        u32(0) ++ u32(0) ++ matrix ++ Array.fill[Byte](24)(0) ++ u32(2))
+      val tkhd = box("tkhd", u32(7) /* v0, enabled|in-movie|in-preview */ ++
+        u32(0) ++ u32(0) ++ u32(1) ++ u32(0) ++ u32(n.toLong) ++
+        u32(0) ++ u32(0) ++ u16(0) ++ u16(0) ++ u16(0) ++ u16(0) ++
+        matrix ++ u32(w.toLong << 16) ++ u32(h.toLong << 16))
+      val mdhd = box("mdhd", u32(0) ++ u32(0) ++ u32(0) ++ u32(fps.toLong) ++
+        u32(n.toLong) ++ u16(0x55C4) /* 'und' */ ++ u16(0))
+      val hdlr = box("hdlr", u32(0) ++ u32(0) ++ fcc("vide") ++
+        u32(0) ++ u32(0) ++ u32(0) ++
+        "VideoHandler".getBytes("US-ASCII") ++ Array[Byte](0))
+      val vmhd = box("vmhd", u32(1) ++ u16(0) ++ u16(0) ++ u16(0) ++ u16(0))
+      val dinf = box("dinf",
+        box("dref", u32(0) ++ u32(1) ++ box("url ", u32(1) /* self */)))
+      val sampleEntry = box(format, Array.fill[Byte](6)(0) ++ u16(1) ++
+        u16(0) ++ u16(0) ++ u32(0) ++ u32(0) ++ u32(0) ++
+        u16(w) ++ u16(h) ++ u32(0x480000) ++ u32(0x480000) ++ u32(0) ++
+        u16(1) ++ Array.fill[Byte](32)(0) /* compressorname */ ++
+        u16(24) ++ u16(0xFFFF) /* pre_defined = -1 */)
+      val stbl = box("stbl",
+        box("stsd", u32(0) ++ u32(1) ++ sampleEntry) ++
+        box("stts", u32(0) ++ u32(1) ++ u32(n.toLong) ++ u32(1)) ++
+        box("stsc", u32(0) ++ u32(1) ++ u32(1) ++ u32(1) ++ u32(1)) ++
+        box("stsz", u32(0) ++ u32(0) ++ u32(n.toLong) ++
+          payloads.flatMap(p => u32(p.length.toLong)).toArray) ++
+        box("stco", u32(0) ++ u32(n.toLong) ++
+          sampleOffsets.flatMap(u32).toArray))
+      val moov = box("moov", mvhd ++ box("trak", tkhd ++
+        box("mdia", mdhd ++ hdlr ++ box("minf", vmhd ++ dinf ++ stbl))))
+      ftyp ++ box("mdat", payloads.flatten.toArray) ++ moov
+    }
+
+    /** REAL ISO-BMFF / MP4 demux (pure box-tree walk, no codec
+      * assumptions): returns the first video track's samples in
+      * decode order plus (width, height, usecPerSample) from its sample
+      * tables. Handles 64-bit largesize and size-0 (to-EOF) boxes, co64
+      * chunk offsets, and the general stsc chunk→sample mapping. None
+      * when the bytes are not an MP4 (must open with ftyp) or any sample
+      * table is structurally inconsistent. Works on any MP4 whose
+      * samples ImageIO can decode (the 'jpeg' Motion-JPEG entry here). */
+    def demuxMp4(bytes: Array[Byte]): Option[(Seq[Array[Byte]], Int, Int, Long)] = {
+      if (bytes == null || bytes.length < 16) return None
+      def str(p: Int): String = new String(bytes, p, 4, "US-ASCII")
+      def u32At(p: Int): Long =
+        ((bytes(p) & 0xFFL) << 24) | ((bytes(p + 1) & 0xFFL) << 16) |
+          ((bytes(p + 2) & 0xFFL) << 8) | (bytes(p + 3) & 0xFFL)
+      def u64At(p: Int): Long = (u32At(p) << 32) | u32At(p + 4)
+      def u16At(p: Int): Int = ((bytes(p) & 0xFF) << 8) | (bytes(p + 1) & 0xFF)
+      if (str(4) != "ftyp") return None
+      final class Tables {
+        var handler = ""
+        var timescale = 0L
+        var delta = 1L
+        var width = 0; var height = 0
+        var sizes: Array[Long] = null
+        var chunkOffsets: Array[Long] = null
+        var stsc: Array[(Long, Long)] = null // (first_chunk, samples_per_chunk)
+      }
+      var video: Tables = null
+      var cur: Tables = null
+      val containers = Set("moov", "trak", "mdia", "minf", "stbl", "dinf", "edts")
+      def walk(start: Long, end: Long, depth: Int): Unit = {
+        if (depth > 16) return
+        var p = start
+        while (p + 8 <= end) {
+          val sz0 = u32At(p.toInt)
+          val typ = str(p.toInt + 4)
+          var hdr = 8L
+          val sz: Long =
+            if (sz0 == 1L) { // 64-bit largesize
+              if (p + 16 > end) return
+              hdr = 16L; u64At(p.toInt + 8)
+            } else if (sz0 == 0L) end - p // box extends to end of file
+            else sz0
+          // sz < hdr covers both malformed tiny sizes and negative
+          // largesize; either would make the walk non-advancing
+          if (sz < hdr || p + sz > end) return
+          val body = (p + hdr).toInt
+          val bEnd = (p + sz).toInt
+          typ match {
+            case t if containers(t) =>
+              if (t == "trak") cur = new Tables
+              walk(body.toLong, bEnd.toLong, depth + 1)
+              if (t == "trak") {
+                if (cur != null && cur.handler == "vide" && video == null)
+                  video = cur
+                cur = null
+              }
+            case "hdlr" if cur != null && bEnd - body >= 12 =>
+              cur.handler = str(body + 8)
+            case "mdhd" if cur != null =>
+              val v = bytes(body) & 0xFF
+              if (v == 1 && bEnd - body >= 24) cur.timescale = u32At(body + 20)
+              else if (v == 0 && bEnd - body >= 16) cur.timescale = u32At(body + 12)
+            case "stts" if cur != null && bEnd - body >= 16 =>
+              cur.delta = u32At(body + 12) // first entry's sample delta
+            case "stsd" if cur != null && bEnd - body >= 8 + 36 =>
+              val entry = body + 8 // first sample entry
+              cur.width = u16At(entry + 32); cur.height = u16At(entry + 34)
+            case "stsz" if cur != null && bEnd - body >= 12 =>
+              val fixed = u32At(body + 4); val cnt = u32At(body + 8)
+              if (cnt >= 0 && cnt < (1L << 24)) {
+                val m = cnt.toInt
+                cur.sizes =
+                  if (fixed != 0) Array.fill(m)(fixed)
+                  else if (bEnd - body - 12 >= 4L * m)
+                    Array.tabulate(m)(i => u32At(body + 12 + 4 * i))
+                  else null
+              }
+            case "stco" if cur != null && bEnd - body >= 8 =>
+              val cnt = u32At(body + 4)
+              if (cnt >= 0 && cnt < (1L << 24) && bEnd - body - 8 >= 4L * cnt)
+                cur.chunkOffsets =
+                  Array.tabulate(cnt.toInt)(i => u32At(body + 8 + 4 * i))
+            case "co64" if cur != null && bEnd - body >= 8 =>
+              val cnt = u32At(body + 4)
+              if (cnt >= 0 && cnt < (1L << 24) && bEnd - body - 8 >= 8L * cnt)
+                cur.chunkOffsets =
+                  Array.tabulate(cnt.toInt)(i => u64At(body + 8 + 8 * i))
+            case "stsc" if cur != null && bEnd - body >= 8 =>
+              val cnt = u32At(body + 4)
+              if (cnt >= 0 && cnt < (1L << 20) && bEnd - body - 8 >= 12L * cnt)
+                cur.stsc = Array.tabulate(cnt.toInt)(i =>
+                  (u32At(body + 8 + 12 * i), u32At(body + 12 + 12 * i)))
+            case _ => ()
+          }
+          p += sz
+        }
+      }
+      try {
+        walk(0L, bytes.length.toLong, 0)
+        val t = video
+        if (t == null || t.sizes == null || t.sizes.isEmpty ||
+            t.chunkOffsets == null || t.chunkOffsets.isEmpty ||
+            t.stsc == null || t.stsc.isEmpty) return None
+        val frames = collection.mutable.ArrayBuffer[Array[Byte]]()
+        var s = 0
+        var c = 0 // 0-based chunk index
+        while (s < t.sizes.length && c < t.chunkOffsets.length) {
+          // samples-per-chunk in effect for 1-based chunk c+1: the last
+          // stsc entry whose first_chunk <= c+1 (entries are sorted)
+          var spc = t.stsc(0)._2
+          var i = 0
+          while (i < t.stsc.length && t.stsc(i)._1 <= c + 1) {
+            spc = t.stsc(i)._2; i += 1
+          }
+          var off = t.chunkOffsets(c)
+          var j = 0L
+          while (j < spc && s < t.sizes.length) {
+            val len = t.sizes(s)
+            if (off < 0 || len < 0 || off + len > bytes.length) return None
+            frames += java.util.Arrays.copyOfRange(
+              bytes, off.toInt, (off + len).toInt)
+            off += len; s += 1; j += 1
+          }
+          c += 1
+        }
+        // chunks exhausted with samples unplaced = inconsistent tables
+        if (s < t.sizes.length) return None
+        val usec =
+          if (t.timescale > 0) 1000000L * t.delta / t.timescale else 0L
+        Some((frames.toSeq, t.width, t.height, usec))
+      } catch { case _: Exception => None }
+    }
+
+    /** Container-agnostic video demux: RIFF/AVI first (little-endian
+      * 'RIFF' sniff), ISO-BMFF/MP4 second ('ftyp' sniff). Every video
+      * path above the codec seam routes through this, so AVI and MP4
+      * inputs are interchangeable end-to-end. */
+    def demuxVideo(bytes: Array[Byte]): Option[(Seq[Array[Byte]], Int, Int, Long)] =
+      demuxAvi(bytes).orElse(demuxMp4(bytes))
+
+    /** REAL video frame decode: demux the container (AVI or MP4), pick
+      * the frame whose presentation time covers `offsetMs` (index =
+      * offsetMs / msPerFrame, clamped), decode it via javax.imageio,
+      * bilinear-resize to w x h. None when the bytes are not a
+      * demuxable video or the frame is undecodable. */
     def decodeFrameReal(bytes: Array[Byte], offsetMs: Long, w: Int,
                         h: Int): Option[Array[Float]] =
-      demuxAvi(bytes).flatMap { case (frames, _, _, usec) =>
+      demuxVideo(bytes).flatMap { case (frames, _, _, usec) =>
         val msPerFrame = math.max(1L, usec / 1000L)
         val idx = math.min(frames.length - 1L,
           math.max(0L, offsetMs / msPerFrame)).toInt
@@ -622,11 +835,12 @@ object Multimodal {
     }(enc)
   }
 
-  /** REAL-codec twin of [[frameFeatures]]: demux each row's RIFF/AVI
-    * bytes once, decode `framesPerDoc` evenly-spaced frames (all frames
+  /** REAL-codec twin of [[frameFeatures]]: demux each row's video bytes
+    * once (RIFF/AVI or ISO-BMFF/MP4 — [[MediaCodec.demuxVideo]]), decode
+    * `framesPerDoc` evenly-spaced frames (all frames
     * when the video has fewer) via javax.imageio, resize, emit
     * (media_ref, frame_off ms, features). Rows whose bytes are not a
-    * demuxable AVI produce no output (same contract as the other real
+    * demuxable video produce no output (same contract as the other real
     * decode paths — route through the synthetic twin for parity tests).
     * Batch-shaped like every codec path: one demux per row, frames
     * decoded within the row's iteration, no per-frame byte re-parse. */
@@ -642,7 +856,7 @@ object Multimodal {
       val codec = MediaCodec
       rows.flatMap { r =>
         val bytes = r.getAs[Array[Byte]]("bytes")
-        codec.demuxAvi(bytes).iterator.flatMap { case (frames, _, _, usec) =>
+        codec.demuxVideo(bytes).iterator.flatMap { case (frames, _, _, usec) =>
           val n = frames.length
           val k = math.min(math.max(framesPerDoc, 1), n)
           val idxs =

@@ -553,6 +553,87 @@ class PipelineOpsSpec extends AnyFunSuite {
     f1.foreach(p => assert(math.abs(p - 128 / 255.0f) < 4.5f / 255))
   }
 
+  test("multimodal: MP4 (ISO-BMFF) write + demux through the container-agnostic path") {
+    val codec = Multimodal.MediaCodec
+    val levels = Seq(30, 128, 220)
+    val frames = levels.map(v => Array.fill(8 * 8)(v))
+    val mp4 = codec.encodeMp4Mjpg(frames, 8, 8, fps = 4)
+    // real ISO-BMFF shape: opens with an ftyp box, carries moov + mdat
+    assert(new String(mp4, 4, 4, "US-ASCII") == "ftyp")
+    val txt = new String(mp4, "ISO-8859-1")
+    assert(txt.contains("moov") && txt.contains("mdat") &&
+      txt.contains("stco") && txt.contains("jpeg"))
+    val Some((payloads, w, h, usec)) = codec.demuxMp4(mp4)
+    assert((payloads.length, w, h, usec) == (3, 8, 8, 250000L))
+    // samples are whole JPEGs; decode lands within a few gray levels
+    payloads.zip(levels).foreach { case (jpg, v) =>
+      assert((jpg(0) & 0xFF) == 0xFF && (jpg(1) & 0xFF) == 0xD8, "JPEG SOI")
+      val Some((px, pw, ph)) = codec.decodeImageReal(jpg)
+      assert((pw, ph) == (8, 8))
+      px.foreach(p => assert(math.abs(p - v / 255.0f) < 4.5f / 255))
+    }
+    // the MJPG-in-AVI encode of the SAME frames demuxes to byte-identical
+    // JPEG samples: the two containers carry one codec path
+    val Some((aviPayloads, _, _, _)) =
+      codec.demuxAvi(codec.encodeAviMjpg(frames, 8, 8, fps = 4))
+    payloads.zip(aviPayloads).foreach { case (mp, av) =>
+      assert(java.util.Arrays.equals(mp, av)) }
+    // container-agnostic dispatch: decodeFrameReal / demuxVideo accept
+    // both containers and reject junk
+    assert(codec.demuxVideo(mp4).isDefined)
+    val f1 = codec.decodeFrameReal(mp4, 300, 8, 8).get
+    f1.foreach(p => assert(math.abs(p - 128 / 255.0f) < 4.5f / 255))
+    assert(codec.demuxMp4("not a container".getBytes).isEmpty)
+    assert(codec.demuxMp4(null).isEmpty)
+    assert(codec.demuxMp4(mp4.take(40)).isEmpty)
+    // crafted hostile boxes: 64-bit largesize lying about its length,
+    // size-0 trailing box, negative-ish sizes — must return None, not
+    // throw or spin
+    val ftypHdr = mp4.take(8)
+    assert(codec.demuxMp4(ftypHdr ++ Array[Byte](0, 0, 0, 1) ++
+      "moov".getBytes ++ Array.fill[Byte](8)(0x7F)).isEmpty)
+    assert(codec.demuxMp4(ftypHdr ++ Array[Byte](0xFF.toByte, 0xFF.toByte,
+      0xFF.toByte, 0xF8.toByte) ++ "moov".getBytes).isEmpty)
+    // box bomb: moov nested past the depth bound must terminate cleanly
+    val bomb = (0 until 40).foldLeft(Array.emptyByteArray) { (inner, _) =>
+      val body = "xxxx".getBytes ++ inner
+      Array[Byte](0, 0, 0, (body.length + 8).toByte) ++ "moov".getBytes ++ body
+    }
+    assert(codec.demuxMp4(mp4.take(8) ++ bomb).isEmpty)
+    // fuzz: garbage, truncations, single-byte mutations never throw
+    val fuzz = new scala.util.Random(13)
+    (1 to 200).foreach { _ =>
+      codec.demuxMp4(Array.fill(fuzz.nextInt(300))(fuzz.nextInt(256).toByte))
+      codec.demuxMp4(mp4.take(fuzz.nextInt(mp4.length)).toArray)
+      val mut = mp4.clone()
+      mut(fuzz.nextInt(mut.length)) = fuzz.nextInt(256).toByte
+      codec.demuxMp4(mut)
+      codec.decodeFrameReal(mut, fuzz.nextLong(1000), 8, 8)
+    }
+  }
+
+  test("multimodal: frameFeaturesReal is container-agnostic (MP4 rows next to AVI rows)") {
+    import spark.implicits._
+    val codec = Multimodal.MediaCodec
+    val a = Array.tabulate(64)(i => if (i % 3 == 0) 255 else 0)
+    val c = Array.tabulate(64)(i => if (i % 5 == 0) 255 else 0)
+    val media = Seq(
+      ("avi0", codec.encodeAviMpng(Seq(a, a, c), 8, 8, fps = 5)),
+      ("mp40", codec.encodeMp4Mjpg(Seq(a, a, a), 8, 8, fps = 5)),
+      ("junk", "neither container".getBytes)).toDF("media_ref", "bytes")
+    val ff = Multimodal.frameFeaturesReal(media, framesPerDoc = 3,
+      targetW = 8, targetH = 8)
+    val byRef = ff.collect().groupBy(_.getString(0))
+    assert(!byRef.contains("junk") && byRef("avi0").length == 3 &&
+      byRef("mp40").length == 3)
+    // both containers yield the same 200 ms frame cadence at 5 fps
+    assert(byRef("mp40").map(_.getLong(1)).sorted.toSeq == Seq(0L, 200L, 400L))
+    // identical flat frames through MP4/JPEG -> zero scene cuts
+    val cuts = Multimodal.sceneChanges(ff, threshold = 0.05)
+      .where(col("media_ref") === "mp40").collect()
+    assert(cuts.length == 2 && cuts.forall(!_.getBoolean(3)))
+  }
+
   test("multimodal: frameFeaturesReal demuxes real AVIs; sceneChanges exact on binary frames") {
     import spark.implicits._
     val codec = Multimodal.MediaCodec
