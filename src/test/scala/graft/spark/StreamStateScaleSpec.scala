@@ -139,4 +139,53 @@ class StreamStateScaleSpec extends AnyFunSuite {
       assert(adm > nDocs * 95 / 100 && adm <= nDocs + 2, s"admitted $adm")
     } finally q.stop()
   }
+
+  test("visitSessions under the RocksDB state store: same semantics, off-heap state, eviction intact") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val saved = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val nKeys = 200000L
+    val t0 = java.sql.Timestamp.valueOf("2026-01-01 10:00:00")
+    def at(min: Int) = new java.sql.Timestamp(t0.getTime + min * 60000L)
+    val mem = MemoryStream[(Long, java.sql.Timestamp, Double, Double)]
+    val visits = StreamOps.visitSessions(
+      StreamOps.withCellId(mem.toDF().toDF("entity", "ts", "lat", "lng"),
+        "lat", "lng"),
+      "entity", "ts", level = 10, lateness = "2 minutes", gapSeconds = 300)
+    val q = visits.writeStream.format("memory").queryName("visits_rocks")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData((0L until nKeys).map { e =>
+        (e, t0, (e * 7919 % 17000) / 100.0 - 85.0,
+          (e * 104729 % 36000) / 100.0 - 180.0)
+      })
+      q.processAllAvailable()
+      val peak = stateRows(q)
+      assert(peak.map(_._2).sum == nKeys, s"rocksdb peak: $peak")
+      // the provider actually engaged: RocksDB reports its own custom
+      // metrics in the state-operator progress
+      val custom = q.recentProgress
+        .filter(p => Option(p.stateOperators).exists(_.nonEmpty))
+        .last.stateOperators.head.customMetrics
+      assert(custom != null && custom.keySet.toArray.exists(
+        _.toString.toLowerCase.contains("rocksdb")),
+        s"no rocksdb metrics in ${custom.keySet}")
+      mem.addData(Seq((nKeys + 1, at(60), 0.0, 0.0)))
+      q.processAllAvailable()
+      mem.addData(Seq((nKeys + 2, at(61), 0.0, 0.0)))
+      q.processAllAvailable()
+      assert(spark.table("visits_rocks").count() == nKeys)
+      assert(stateRows(q).map(_._2).sum <= 2, "rocksdb state not evicted")
+    } finally {
+      q.stop()
+      saved match {
+        case Some(v) =>
+          spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None =>
+          spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
 }
