@@ -317,6 +317,48 @@ object Bench {
       tLo / (scanSecHi + math.max(0.0, tLo - scanSecLo) / aluSpeedup)
     val normEfficiency = if (hwSpeedup > 0) speedup / hwSpeedup else efficiency
 
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val total = results.map(_._2).sum
+    def arr(xs: Seq[Double]): String = xs.mkString("[", ",", "]")
+    val pipelineJson =
+      s"""{"docs":$benchDocs,"matched":$matched,"cores_hi":$cpus,"cores_lo":$lowCores,""" +
+      s""""protocol":"interleaved ${rounds}x$repsPerRound median, reject > ${outlierFactor}x level best",""" +
+      s""""sec_hi":$tHi,"sec_lo":$tLo,""" +
+      s""""sec_hi_best":${repsHi.min},"sec_lo_best":${repsLo.min},""" +
+      s""""reps_hi":${arr(repsHi.toSeq)},"reps_lo":${arr(repsLo.toSeq)},""" +
+      s""""reps_hi_rejected":${arr(rejHi)},"reps_lo_rejected":${arr(rejLo)},""" +
+      s""""docs_per_sec_hi":${benchDocs / tHi},"docs_per_sec_lo":${benchDocs / tLo},""" +
+      s""""speedup":$speedup,"scaling_efficiency":$efficiency,""" +
+      s""""hw_ceiling_alu_speedup":$aluSpeedup,"hw_ceiling_scan_speedup":$scanSpeedup,""" +
+      s""""scan_sec_lo":$scanSecLo,"scan_sec_hi":$scanSecHi,""" +
+      s""""hw_ceiling_speedup":$hwSpeedup,"scaling_efficiency_vs_hw":$normEfficiency}"""
+
+    // checkpoint the full artifact after each phase: a run killed mid-
+    // sweep (driver timeout, disk pressure) still leaves a parseable
+    // artifact with everything measured so far; the final write replaces
+    // the snapshot and drops the "partial" marker
+    def writeFullArtifact(json: String): Unit = {
+      val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL",
+        "BENCH/bench_full_r05.json")
+      try {
+        val p = java.nio.file.Paths.get(fullPath)
+        if (p.getParent != null) java.nio.file.Files.createDirectories(p.getParent)
+        java.nio.file.Files.write(p, json.getBytes("UTF-8"))
+        ()
+      } catch {
+        case e: Exception =>
+          System.err.println(s"bench: could not write $fullPath: $e")
+      }
+    }
+
+    writeFullArtifact(
+      s"""{"partial":"after_scaling","metric":"total","value":$total,""" +
+      s""""unit":"sec","queries":$qs,""" +
+      s""""headline_cpu_probe_gops":{"start":${headlineProbeStart / 1e9},""" +
+      s""""end":${headlineProbeEnd / 1e9}},""" +
+      s""""pipeline":$pipelineJson,"sf":"$sfDir"}""")
+
     // ---- phase 3: skew-join A/B + kNN fixed-cost amortization ----
     // (round-3 verdict items 3 and 4: prove the salted term join beats
     // the unsalted plan on clustered data, and that the heavy kNN
@@ -456,6 +498,14 @@ object Bench {
       s"""{"knn_10k":[${k10.mkString(",")}],"knn_large":[${kLg.mkString(",")}]}"""
     }
     spark3.stop()
+
+    writeFullArtifact(
+      s"""{"partial":"after_skew_knn","metric":"total","value":$total,""" +
+      s""""unit":"sec","queries":$qs,""" +
+      s""""headline_cpu_probe_gops":{"start":${headlineProbeStart / 1e9},""" +
+      s""""end":${headlineProbeEnd / 1e9}},""" +
+      s""""pipeline":$pipelineJson,"skew_join":$skewJson,""" +
+      s""""knn_scale":$knnScaleJson,"sf":"$sfDir"}""")
 
     // ---- phase 4: scale sweep + forced-spill (round-5 scale-proofing:
     // the flagship at 2x and 3x its 18 GB input — 10x parquet bytes does
@@ -608,22 +658,6 @@ object Bench {
 
     // ---- emit: FULL artifact to a file, ONE compact line (< 2000 bytes,
     // the driver's tail-capture window) printed LAST ----
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    def arr(xs: Seq[Double]): String = xs.mkString("[", ",", "]")
-    val pipelineJson =
-      s"""{"docs":$benchDocs,"matched":$matched,"cores_hi":$cpus,"cores_lo":$lowCores,""" +
-      s""""protocol":"interleaved ${rounds}x$repsPerRound median, reject > ${outlierFactor}x level best",""" +
-      s""""sec_hi":$tHi,"sec_lo":$tLo,""" +
-      s""""sec_hi_best":${repsHi.min},"sec_lo_best":${repsLo.min},""" +
-      s""""reps_hi":${arr(repsHi.toSeq)},"reps_lo":${arr(repsLo.toSeq)},""" +
-      s""""reps_hi_rejected":${arr(rejHi)},"reps_lo_rejected":${arr(rejLo)},""" +
-      s""""docs_per_sec_hi":${benchDocs / tHi},"docs_per_sec_lo":${benchDocs / tLo},""" +
-      s""""speedup":$speedup,"scaling_efficiency":$efficiency,""" +
-      s""""hw_ceiling_alu_speedup":$aluSpeedup,"hw_ceiling_scan_speedup":$scanSpeedup,""" +
-      s""""scan_sec_lo":$scanSecLo,"scan_sec_hi":$scanSecHi,""" +
-      s""""hw_ceiling_speedup":$hwSpeedup,"scaling_efficiency_vs_hw":$normEfficiency}"""
     val fullJson =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""headline_cpu_probe_gops":{"start":${headlineProbeStart / 1e9},""" +
@@ -632,16 +666,9 @@ object Bench {
       s""""scale_sweep":$sweepJson,"forced_spill":$forcedSpillJson,""" +
       s""""pipeline_executed_plan":${jsonStr(sweepPlan)},""" +
       s""""sf":"$sfDir"}"""
+    writeFullArtifact(fullJson)
     val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL",
       "BENCH/bench_full_r05.json")
-    try {
-      val p = java.nio.file.Paths.get(fullPath)
-      if (p.getParent != null) java.nio.file.Files.createDirectories(p.getParent)
-      java.nio.file.Files.write(p, fullJson.getBytes("UTF-8"))
-      ()
-    } catch {
-      case e: Exception => System.err.println(s"bench: could not write $fullPath: $e")
-    }
     // compact final line: every number rounded, no rep arrays (those live
     // in the full artifact) — r4's line overflowed the 2000-byte tail
     // window and the artifact of record was left unparseable
